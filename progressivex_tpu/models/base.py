@@ -1,0 +1,61 @@
+"""Model-family plugin interface.
+
+A family bundles (data layout, minimal solver, non-minimal weighted solver,
+residual, descriptor shape) — the TPU-native analog of the reference's
+Estimator concept (`/root/reference/src/pyprogressivex/include/
+vanishing_point_estimator.h:86-224`): sampleSize / nonMinimalSampleSize /
+estimateModel / estimateModelNonminimal / squaredResidual.
+
+Unlike the reference (virtual calls, one point at a time), every function
+here is written for a SINGLE problem with static shapes and gets batched by
+the engine via `jax.vmap`:
+
+  minimal_solver(samples [sample_size, data_dim])
+      -> (descs [max_solutions, desc_dim], valid [max_solutions] bool)
+  nonminimal_solver(data [N, data_dim], weights [N])
+      -> (desc [desc_dim], valid bool)
+  squared_residual(data [N, data_dim], desc [desc_dim]) -> [N]
+
+Descriptors are flat f32/f64 vectors so the engine can store the compound
+model as one dense [K_max, desc_dim] array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelFamily:
+    name: str
+    data_dim: int  # columns of one data row
+    sample_size: int  # minimal sample size (reference: Estimator::sampleSize)
+    nonminimal_min: int  # min points for a non-minimal refit
+    max_solutions: int  # max models returned by the minimal solver
+    desc_dim: int  # flattened descriptor length
+    desc_shape: tuple  # output shape of one descriptor, e.g. (3, 3)
+    minimal_solver: Callable
+    nonminimal_solver: Callable
+    squared_residual: Callable
+
+    def __hash__(self):  # usable as a static jit argument
+        return hash(self.name)
+
+    def __eq__(self, other):
+        return isinstance(other, ModelFamily) and other.name == self.name
+
+
+_REGISTRY: dict = {}
+
+
+def register_family(family: ModelFamily) -> ModelFamily:
+    _REGISTRY[family.name] = family
+    return family
+
+
+def get_family(name: str) -> ModelFamily:
+    # Import lazily so `get_family` works regardless of import order.
+    if not _REGISTRY:
+        from progressivex_tpu import models as _m  # noqa: F401
+    return _REGISTRY[name]

@@ -1,0 +1,136 @@
+"""Fundamental-matrix (two-view motion) family: data row = [x1, y1, x2, y2],
+descriptor = flattened 3x3 F (row-major) with x2^T F x1 = 0.
+
+Reference parity: `gcransac::utils::DefaultFundamentalMatrixEstimator`
+(consumed at `/root/reference/src/pyprogressivex/src/progressivex_python.cpp:616`,
+sampleSize = 7; solver headers named at
+`/root/reference/src/pyprogressivex/include/progressive_x.h:21-22`):
+minimal = seven-point algorithm (up to 3 solutions via the cubic
+det(l*F1 + (1-l)*F2) = 0), non-minimal = normalized weighted eight-point
+with rank-2 projection, residual = Sampson distance. Output layout matches
+`/root/reference/src/pyprogressivex/src/progressivex_python.cpp:654-662`.
+
+TPU-first notes: the cubic is solved in closed form (trig/Cardano) so a
+batch of B seven-point problems yields a dense [B, 3] root tensor with a
+validity mask — no data-dependent branching.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from progressivex_tpu.models.base import ModelFamily, register_family
+from progressivex_tpu.ops.linalg import (
+    cubic_roots_real,
+    hartley_normalize,
+    smallest_eigvec_sym,
+)
+
+_EPS = 1e-12
+
+
+def _epipolar_rows(p1, p2, w):
+    """Rows of the linear system x2^T F x1 = 0, F row-major. [N, 9]."""
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    o = jnp.ones_like(x1)
+    rows = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1
+    )
+    return rows * w[:, None]
+
+
+def _denormalize(Fn, T1, T2):
+    """x2n^T Fn x1n = 0 with xin = Ti xi  =>  F = T2^T Fn T1."""
+    F = T2.T @ Fn @ T1
+    nrm = jnp.linalg.norm(F)
+    return F / jnp.maximum(nrm, _EPS)
+
+
+def _minimal(samples):
+    """Seven-point algorithm. samples: [7, 4] -> ([3, 9], [3] bool)."""
+    w = jnp.ones((7,), samples.dtype)
+    n1, T1 = hartley_normalize(samples[:, :2], w)
+    n2, T2 = hartley_normalize(samples[:, 2:4], w)
+    A = _epipolar_rows(n1, n2, w)
+    # Null-space basis by SVD of A directly (not A^T A) for f32 accuracy.
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    F1 = Vt[-1].reshape(3, 3)
+    F2 = Vt[-2].reshape(3, 3)
+
+    # det(l*F1 + (1-l)*F2) is cubic in l; fit coefficients from 4 evaluations
+    # (closed-form and batch-friendly, avoids expanding 3x3 determinants).
+    def det_at(lam):
+        return jnp.linalg.det(lam * F1 + (1.0 - lam) * F2)
+
+    d0 = det_at(0.0)
+    d1 = det_at(1.0)
+    dm1 = det_at(-1.0)
+    d2 = det_at(2.0)
+    c2 = 0.5 * (d1 + dm1) - d0
+    a1 = d1 - d0 - c2  # = c3 + c1
+    a2 = d2 - d0 - 4.0 * c2  # = 8*c3 + 2*c1
+    c3 = (a2 - 2.0 * a1) / 6.0
+    c1 = a1 - c3
+    c0 = d0
+
+    roots, valid = cubic_roots_real(c3, c2, c1, c0)
+
+    def build(lam):
+        Fn = lam * F1 + (1.0 - lam) * F2
+        return _denormalize(Fn, T1, T2).reshape(9)
+
+    descs = jnp.stack([build(roots[i]) for i in range(3)])
+    valid = valid & jnp.isfinite(descs).all(axis=-1)
+    return descs, valid
+
+
+def _nonminimal(data, weights):
+    """Normalized weighted eight-point with rank-2 projection."""
+    sw = jnp.sqrt(jnp.maximum(weights, 0.0))
+    n1, T1 = hartley_normalize(data[:, :2], weights)
+    n2, T2 = hartley_normalize(data[:, 2:4], weights)
+    A = _epipolar_rows(n1, n2, sw)
+    M = A.T @ A
+    f = smallest_eigvec_sym(M)
+    Fn = f.reshape(3, 3)
+    # Enforce rank 2: zero out the smallest singular value.
+    U, S, Vt = jnp.linalg.svd(Fn)
+    S = S.at[2].set(0.0)
+    Fn = (U * S[None, :]) @ Vt
+    F = _denormalize(Fn, T1, T2)
+    valid = jnp.isfinite(F).all() & (jnp.sum(weights > 0) >= 8)
+    return F.reshape(9), valid
+
+
+def _squared_residual(data, desc):
+    """Squared Sampson distance. data: [N, 4] -> [N]."""
+    F = desc.reshape(3, 3)
+    x1, y1 = data[:, 0], data[:, 1]
+    x2, y2 = data[:, 2], data[:, 3]
+    # F x1 (homogeneous)
+    fx0 = F[0, 0] * x1 + F[0, 1] * y1 + F[0, 2]
+    fx1 = F[1, 0] * x1 + F[1, 1] * y1 + F[1, 2]
+    fx2 = F[2, 0] * x1 + F[2, 1] * y1 + F[2, 2]
+    # F^T x2
+    ftx0 = F[0, 0] * x2 + F[1, 0] * y2 + F[2, 0]
+    ftx1 = F[0, 1] * x2 + F[1, 1] * y2 + F[2, 1]
+    num = x2 * fx0 + y2 * fx1 + fx2
+    den = fx0 * fx0 + fx1 * fx1 + ftx0 * ftx0 + ftx1 * ftx1
+    return num * num / jnp.maximum(den, _EPS)
+
+
+FUNDAMENTAL = register_family(
+    ModelFamily(
+        name="fundamental",
+        data_dim=4,
+        sample_size=7,
+        nonminimal_min=8,
+        max_solutions=3,
+        desc_dim=9,
+        desc_shape=(3, 3),
+        minimal_solver=_minimal,
+        nonminimal_solver=_nonminimal,
+        squared_residual=_squared_residual,
+    )
+)

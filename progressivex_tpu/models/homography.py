@@ -1,0 +1,110 @@
+"""Homography family: data row = [x1, y1, x2, y2], descriptor = flattened
+3x3 H (row-major) mapping image-1 points to image-2 points.
+
+Reference parity: `gcransac::utils::DefaultHomographyEstimator`
+(consumed at `/root/reference/src/pyprogressivex/src/progressivex_python.cpp:252`,
+sampleSize = 4): minimal = 4-point DLT, non-minimal = normalized weighted DLT
+on the inliers, residual = transfer error in the destination image.
+Output layout (row-major 3x3) matches
+`/root/reference/src/pyprogressivex/src/progressivex_python.cpp:292-300`.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from progressivex_tpu.models.base import ModelFamily, register_family
+from progressivex_tpu.ops.linalg import hartley_normalize, smallest_eigvec_sym
+
+_EPS = 1e-12
+
+
+def _dlt_rows(p1, p2, w):
+    """Two DLT rows per correspondence, scaled by sqrt weights.
+
+    p1, p2: [N, 2]; w: [N]. Returns [2N, 9].
+    """
+    x1, y1 = p1[:, 0], p1[:, 1]
+    x2, y2 = p2[:, 0], p2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r0 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
+    r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))[:, None]
+    return jnp.concatenate([r0 * sw, r1 * sw], axis=0)
+
+
+def _solve_h(p1, p2, weights, use_svd: bool = False):
+    """Normalized (weighted) DLT: returns (H [3,3], valid).
+
+    use_svd=True extracts the null space by SVD of A (f32-accurate, used for
+    the minimal 4-point case where A^T A squares the condition number);
+    the non-minimal refit uses the 9x9 normal matrix (N-independent cost).
+    """
+    n1, T1 = hartley_normalize(p1, weights)
+    n2, T2 = hartley_normalize(p2, weights)
+    A = _dlt_rows(n1, n2, weights)
+    if use_svd:
+        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+        h = Vt[-1]
+    else:
+        M = A.T @ A  # 9x9 normal matrix; smallest eigenvector = null space
+        h = smallest_eigvec_sym(M)
+    Hn = h.reshape(3, 3)
+    # Denormalize: x2 = T2^-1 Hn T1 x1.
+    T2inv = jnp.linalg.inv(T2)
+    H = T2inv @ Hn @ T1
+    scale = H[2, 2]
+    big = jnp.max(jnp.abs(H))
+    # Normalize by H[2,2] when well-conditioned, else by the largest entry.
+    denom = jnp.where(jnp.abs(scale) > 1e-8 * big, scale, jnp.where(big > _EPS, big, 1.0))
+    H = H / denom
+    valid = jnp.isfinite(H).all() & (jnp.abs(jnp.linalg.det(H)) > 1e-10)
+    return H, valid
+
+
+def _minimal(samples):
+    """4-point DLT. samples: [4, 4] -> ([1, 9], [1] bool)."""
+    w = jnp.ones((4,), samples.dtype)
+    H, valid = _solve_h(samples[:, :2], samples[:, 2:4], w, use_svd=True)
+    return H.reshape(1, 9), valid[None]
+
+
+def _nonminimal(data, weights):
+    """Weighted DLT over all points. data: [N, 4], weights: [N]."""
+    H, valid = _solve_h(data[:, :2], data[:, 2:4], weights)
+    valid = valid & (jnp.sum(weights > 0) >= 4)
+    return H.reshape(9), valid
+
+
+def _squared_residual(data, desc):
+    """Transfer error squared in the destination image. data: [N, 4] -> [N]."""
+    H = desc.reshape(3, 3)
+    x1, y1 = data[:, 0], data[:, 1]
+    x2, y2 = data[:, 2], data[:, 3]
+    px = H[0, 0] * x1 + H[0, 1] * y1 + H[0, 2]
+    py = H[1, 0] * x1 + H[1, 1] * y1 + H[1, 2]
+    pz = H[2, 0] * x1 + H[2, 1] * y1 + H[2, 2]
+    pz_safe = jnp.where(jnp.abs(pz) > 1e-9, pz, 1e-9)
+    dx = px / pz_safe - x2
+    dy = py / pz_safe - y2
+    r2 = dx * dx + dy * dy
+    # Points near the plane at infinity of H get an effectively infinite
+    # residual, mirroring the unbounded transfer error.
+    return jnp.where(jnp.abs(pz) > 1e-9, r2, jnp.full_like(r2, 1e18))
+
+
+HOMOGRAPHY = register_family(
+    ModelFamily(
+        name="homography",
+        data_dim=4,
+        sample_size=4,
+        nonminimal_min=4,
+        max_solutions=1,
+        desc_dim=9,
+        desc_shape=(3, 3),
+        minimal_solver=_minimal,
+        nonminimal_solver=_nonminimal,
+        squared_residual=_squared_residual,
+    )
+)

@@ -1,0 +1,199 @@
+"""6D-pose (PnP) family: data row = [x, y, X, Y, Z] with (x, y) NORMALIZED
+image coordinates (K^-1 applied by the front end, mirroring
+`/root/reference/src/pyprogressivex/src/progressivex_python.cpp:64-98`),
+descriptor = flattened 3x4 pose [R|t] (row-major, layout matching
+`/root/reference/src/pyprogressivex/src/progressivex_python.cpp:156-167`).
+
+Reference parity: `gcransac::utils::DefaultPnPEstimator` (consumed at
+`progressivex_python.cpp:119`, minimal sample of 3 points — see the n>=3
+check at `/root/reference/src/pyprogressivex/src/bindings.cpp:27-31`):
+minimal = P3P, non-minimal = weighted DLT over all assigned points,
+residual = reprojection error in normalized image coordinates.
+
+P3P is Grunert's classical closed form (quartic in the distance ratio),
+batched: every hypothesis yields a dense [4] root tensor plus validity
+mask — no data-dependent control flow, so thousands of P3P problems
+solve as one fused XLA computation.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from progressivex_tpu.models.base import ModelFamily, register_family
+from progressivex_tpu.ops.linalg import kabsch, quartic_roots_real, smallest_eigvec_sym
+
+_EPS = 1e-12
+
+
+def _bearings(xy):
+    """Unit bearing vectors from normalized image coordinates. [N,2]->[N,3]."""
+    v = jnp.concatenate([xy, jnp.ones_like(xy[:, :1])], axis=-1)
+    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), _EPS)
+
+
+def _minimal(samples):
+    """Grunert P3P. samples: [3, 5] -> ([4, 12], [4] bool)."""
+    dtype = samples.dtype
+    j = _bearings(samples[:, :2])  # [3, 3] unit bearings
+    P = samples[:, 2:5]  # [3, 3] world points
+
+    a2 = jnp.sum((P[1] - P[2]) ** 2)
+    b2 = jnp.sum((P[0] - P[2]) ** 2)
+    c2 = jnp.sum((P[0] - P[1]) ** 2)
+    cos_a = jnp.dot(j[1], j[2])
+    cos_b = jnp.dot(j[0], j[2])
+    cos_g = jnp.dot(j[0], j[1])
+
+    b2s = jnp.maximum(b2, _EPS)
+    amc = (a2 - c2) / b2s
+    apc = (a2 + c2) / b2s
+
+    A4 = (amc - 1.0) ** 2 - 4.0 * (c2 / b2s) * cos_a**2
+    A3 = 4.0 * (
+        amc * (1.0 - amc) * cos_b
+        - (1.0 - apc) * cos_a * cos_g
+        + 2.0 * (c2 / b2s) * cos_a**2 * cos_b
+    )
+    A2 = 2.0 * (
+        amc**2
+        - 1.0
+        + 2.0 * amc**2 * cos_b**2
+        + 2.0 * ((b2 - c2) / b2s) * cos_a**2
+        - 4.0 * apc * cos_a * cos_b * cos_g
+        + 2.0 * ((b2 - a2) / b2s) * cos_g**2
+    )
+    A1 = 4.0 * (
+        -amc * (1.0 + amc) * cos_b
+        + 2.0 * (a2 / b2s) * cos_g**2 * cos_b
+        - (1.0 - apc) * cos_a * cos_g
+    )
+    A0 = (1.0 + amc) ** 2 - 4.0 * (a2 / b2s) * cos_g**2
+
+    solvable = jnp.abs(A4) > 1e-12
+    A4s = jnp.where(solvable, A4, jnp.ones((), dtype))
+    coeffs = jnp.stack([A3, A2, A1, A0]) / A4s
+    v_roots, v_valid = quartic_roots_real(coeffs)
+    v_valid = v_valid & solvable & (v_roots > _EPS)
+
+    def pose_from_v(v):
+        denom_u = 2.0 * (cos_g - v * cos_a)
+        u = ((-1.0 + amc) * v * v - 2.0 * amc * cos_b * v + 1.0 + amc) / jnp.where(
+            jnp.abs(denom_u) > _EPS, denom_u, jnp.full((), _EPS, dtype)
+        )
+        s1_sq = b2 / jnp.maximum(1.0 + v * v - 2.0 * v * cos_b, _EPS)
+        s1 = jnp.sqrt(jnp.maximum(s1_sq, 0.0))
+        s2 = u * s1
+        s3 = v * s1
+        Q = jnp.stack([s1 * j[0], s2 * j[1], s3 * j[2]])  # camera-frame points
+        R, t, ok = kabsch(P, Q, jnp.ones((3,), dtype))
+        desc = jnp.concatenate([R, t[:, None]], axis=1).reshape(12)
+        ok = (
+            ok
+            & (s1 > _EPS)
+            & (s2 > _EPS)
+            & (s3 > _EPS)
+            & (jnp.abs(denom_u) > _EPS)
+        )
+        return desc, ok
+
+    out_desc = []
+    out_ok = []
+    for i in range(4):
+        dsc, ok = pose_from_v(v_roots[i])
+        out_desc.append(dsc)
+        out_ok.append(ok)
+    descs = jnp.stack(out_desc)
+    valid = jnp.stack(out_ok) & v_valid & jnp.isfinite(descs).all(axis=-1)
+    return descs, valid
+
+
+def _nonminimal(data, weights):
+    """Weighted DLT for the projection [R|t] on normalized coordinates.
+
+    World points are whitened by a similarity transform before the 12x12
+    eigen-solve to keep the f32 normal matrix well conditioned, then the
+    transform is folded back into the pose. R is projected to SO(3) by SVD
+    and t rescaled accordingly; the sign is fixed by majority positive depth.
+    """
+    dtype = data.dtype
+    xy = data[:, :2]
+    Xw = data[:, 2:5]
+    w = jnp.maximum(weights, 0.0)
+    wsum = jnp.maximum(jnp.sum(w), _EPS)
+
+    # Whitening similarity for the world points: X' = (X - mu) / s.
+    mu = jnp.sum(w[:, None] * Xw, axis=0) / wsum
+    rms = jnp.sqrt(jnp.sum(w * jnp.sum((Xw - mu) ** 2, axis=-1)) / wsum)
+    s = jnp.maximum(rms, _EPS)
+    Xn = (Xw - mu) / s
+
+    X, Y, Z = Xn[:, 0], Xn[:, 1], Xn[:, 2]
+    x, y = xy[:, 0], xy[:, 1]
+    o = jnp.ones_like(X)
+    z = jnp.zeros_like(X)
+    sw = jnp.sqrt(w)[:, None]
+    r0 = jnp.stack([X, Y, Z, o, z, z, z, z, -x * X, -x * Y, -x * Z, -x], axis=-1) * sw
+    r1 = jnp.stack([z, z, z, z, X, Y, Z, o, -y * X, -y * Y, -y * Z, -y], axis=-1) * sw
+    A = jnp.concatenate([r0, r1], axis=0)
+    M = A.T @ A
+    p = smallest_eigvec_sym(M)
+    Pm = p.reshape(3, 4)
+
+    # Undo whitening: Pw = Pm @ [[I/s, -mu/s], [0, 1]] scaled by s -> fold in.
+    Rp = Pm[:, :3] / s
+    tp = Pm[:, 3] - Rp @ mu
+
+    # Project Rp to a rotation; recover scale as the mean singular value.
+    U, S, Vt = jnp.linalg.svd(Rp)
+    scale = jnp.maximum(jnp.mean(S), _EPS)
+    det = jnp.linalg.det(U @ Vt)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(jnp.sign(det))
+    R = U @ D @ Vt
+    t = tp / (scale * jnp.sign(det))
+
+    # Majority positive depth decides the global sign.
+    depth = Xw @ R[2].T + t[2]
+    flip = jnp.sum(w * jnp.sign(depth)) < 0.0
+    R = jnp.where(flip, -R, R)
+    t = jnp.where(flip, -t, t)
+    # Re-orthonormalize after a possible flip (-R has det -1).
+    U2, _, Vt2 = jnp.linalg.svd(R)
+    det2 = jnp.linalg.det(U2 @ Vt2)
+    D2 = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(jnp.sign(det2))
+    R = U2 @ D2 @ Vt2
+
+    desc = jnp.concatenate([R, t[:, None]], axis=1).reshape(12)
+    valid = jnp.isfinite(desc).all() & (jnp.sum(w > 0) >= 6)
+    return desc, valid
+
+
+def _squared_residual(data, desc):
+    """Squared reprojection error in normalized coords. data: [N, 5] -> [N]."""
+    Pm = desc.reshape(3, 4)
+    R = Pm[:, :3]
+    t = Pm[:, 3]
+    q = data[:, 2:5] @ R.T + t  # [N, 3] camera-frame points
+    z = q[:, 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    dx = q[:, 0] / z_safe - data[:, 0]
+    dy = q[:, 1] / z_safe - data[:, 1]
+    r2 = dx * dx + dy * dy
+    # Points behind the camera can never be inliers.
+    return jnp.where(z > 1e-9, r2, jnp.full_like(r2, 1e18))
+
+
+PNP = register_family(
+    ModelFamily(
+        name="pnp",
+        data_dim=5,
+        sample_size=3,
+        nonminimal_min=6,
+        max_solutions=4,
+        desc_dim=12,
+        desc_shape=(3, 4),
+        minimal_solver=_minimal,
+        nonminimal_solver=_nonminimal,
+        squared_residual=_squared_residual,
+    )
+)

@@ -1,0 +1,266 @@
+"""Batched closed-form linear algebra used by the minimal/non-minimal solvers.
+
+Everything here is shape-static, vmap-friendly and differentiable-free
+(pure forward math), designed so XLA can fuse it and batch it onto the
+TPU's VPU/MXU.  All functions accept single problems; the engine vmaps.
+
+Reference parity notes: the upstream Progressive-X solvers rely on Eigen
+(SelfAdjointEigenSolver / cross products), e.g.
+`/root/reference/src/pyprogressivex/include/solver_vanishing_point_two_lines.h:147-233`.
+Here the same decompositions are expressed as batched XLA ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def cross3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Cross product of 3-vectors (last axis)."""
+    return jnp.cross(a, b)
+
+
+def normalize_vec(v: jax.Array, axis: int = -1) -> jax.Array:
+    n = jnp.linalg.norm(v, axis=axis, keepdims=True)
+    return v / jnp.maximum(n, _EPS)
+
+
+def hartley_normalize(pts: jax.Array, weights: jax.Array):
+    """Weighted Hartley normalization of 2D points.
+
+    Args:
+      pts: [N, 2] points.
+      weights: [N] non-negative weights; zero-weight points are ignored.
+
+    Returns:
+      (pts_norm [N, 2], T [3, 3]) with ``p_norm_h = T @ p_h``. The weighted
+      centroid maps to the origin and the weighted mean distance to sqrt(2).
+    """
+    wsum = jnp.maximum(jnp.sum(weights), _EPS)
+    mean = jnp.sum(weights[:, None] * pts, axis=0) / wsum
+    centered = pts - mean
+    dist = jnp.linalg.norm(centered, axis=-1)
+    mean_dist = jnp.sum(weights * dist) / wsum
+    scale = jnp.sqrt(2.0) / jnp.maximum(mean_dist, _EPS)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype=pts.dtype
+    )
+    T = T.at[0, 0].set(scale)
+    T = T.at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0])
+    T = T.at[1, 2].set(-scale * mean[1])
+    return centered * scale, T
+
+
+def smallest_eigvec_sym(M: jax.Array) -> jax.Array:
+    """Eigenvector for the smallest eigenvalue of a symmetric matrix.
+
+    jnp.linalg.eigh returns eigenvalues in ascending order, so column 0 is
+    the null-space direction of A^T A systems.
+    """
+    _, vecs = jnp.linalg.eigh(M)
+    return vecs[..., 0]
+
+
+def two_smallest_eigvecs_sym(M: jax.Array):
+    """Two eigenvectors with the smallest eigenvalues of a symmetric matrix."""
+    _, vecs = jnp.linalg.eigh(M)
+    return vecs[..., 0], vecs[..., 1]
+
+
+def smallest_eigvec_2x2(M: jax.Array) -> jax.Array:
+    """Closed-form smallest eigenvector of a symmetric 2x2 matrix.
+
+    Cheaper than eigh for the 2D line fit; fully fused by XLA.
+    """
+    a, b, c = M[0, 0], M[0, 1], M[1, 1]
+    # Smallest eigenvalue of [[a, b], [b, c]].
+    tr = a + c
+    det_gap = jnp.sqrt(jnp.maximum((a - c) ** 2 + 4.0 * b * b, 0.0))
+    lam = 0.5 * (tr - det_gap)
+    # (M - lam I) v = 0 -> v is orthogonal to either row; pick the bigger row.
+    r0 = jnp.stack([a - lam, b])
+    r1 = jnp.stack([b, c - lam])
+    use0 = jnp.sum(r0 * r0) > jnp.sum(r1 * r1)
+    row = jnp.where(use0, r0, r1)
+    v = jnp.stack([-row[1], row[0]])
+    nrm = jnp.linalg.norm(v)
+    # Degenerate (isotropic) case: any direction works; pick x-axis.
+    v = jnp.where(nrm > _EPS, v / jnp.maximum(nrm, _EPS), jnp.array([1.0, 0.0], v.dtype))
+    return v
+
+
+def _cbrt_signed(x: jax.Array) -> jax.Array:
+    return jnp.sign(x) * jnp.abs(x) ** (1.0 / 3.0)
+
+
+def cubic_roots_real(a, b, c, d):
+    """Real roots of a*x^3 + b*x^2 + c*x + d = 0 (batched scalars).
+
+    Returns (roots [3], valid [3] bool). Invalid entries are filled with the
+    first real root, so downstream code can evaluate them safely and rely on
+    the mask. Falls back to the quadratic/linear case when ``a`` is tiny.
+    """
+    dtype = jnp.result_type(a, b, c, d)
+    a, b, c, d = (jnp.asarray(v, dtype) for v in (a, b, c, d))
+    is_cubic = jnp.abs(a) > 1e-10 * jnp.maximum(
+        jnp.maximum(jnp.abs(b), jnp.abs(c)), jnp.maximum(jnp.abs(d), 1.0)
+    )
+    a_safe = jnp.where(is_cubic, a, jnp.ones((), dtype))
+
+    # Depressed cubic t^3 + p t + q with x = t - b / (3 a).
+    shift = b / (3.0 * a_safe)
+    p = (3.0 * a_safe * c - b * b) / (3.0 * a_safe * a_safe)
+    q = (2.0 * b**3 - 9.0 * a_safe * b * c + 27.0 * a_safe * a_safe * d) / (
+        27.0 * a_safe**3
+    )
+    disc = -4.0 * p**3 - 27.0 * q * q  # > 0 -> three real roots
+
+    # Three-real-roots branch (trigonometric method).
+    p_neg = jnp.minimum(p, -_EPS)
+    m = 2.0 * jnp.sqrt(-p_neg / 3.0)
+    acos_arg = jnp.clip(3.0 * q / (p_neg * m), -1.0, 1.0)
+    theta = jnp.arccos(acos_arg) / 3.0
+    k = jnp.arange(3, dtype=dtype)
+    roots_tri = m * jnp.cos(theta - 2.0 * jnp.pi * k / 3.0)
+
+    # One-real-root branch (Cardano).
+    half_q = 0.5 * q
+    sq = jnp.sqrt(jnp.maximum(half_q * half_q + p**3 / 27.0, 0.0))
+    t_single = _cbrt_signed(-half_q + sq) + _cbrt_signed(-half_q - sq)
+    roots_single = jnp.stack([t_single, t_single, t_single])
+
+    three_real = disc > 0.0
+    troots = jnp.where(three_real, roots_tri, roots_single)
+    roots = troots - shift
+    valid = jnp.where(
+        three_real,
+        jnp.array([True, True, True]),
+        jnp.array([True, False, False]),
+    )
+
+    # Quadratic fallback: b x^2 + c x + d = 0.
+    is_quad = jnp.abs(b) > 1e-12
+    b_safe = jnp.where(is_quad, b, jnp.ones((), dtype))
+    qdisc = c * c - 4.0 * b_safe * d
+    qs = jnp.sqrt(jnp.maximum(qdisc, 0.0))
+    qr0 = (-c - qs) / (2.0 * b_safe)
+    qr1 = (-c + qs) / (2.0 * b_safe)
+    lin = -d / jnp.where(jnp.abs(c) > _EPS, c, jnp.ones((), dtype))
+    quad_roots = jnp.stack([jnp.where(is_quad, qr0, lin), qr1, qr1])
+    quad_valid = jnp.stack(
+        [
+            is_quad & (qdisc >= 0) | ~is_quad,
+            is_quad & (qdisc >= 0),
+            jnp.zeros((), bool),
+        ]
+    )
+
+    roots = jnp.where(is_cubic, roots, quad_roots)
+    valid = jnp.where(is_cubic, valid, quad_valid)
+    return roots, valid
+
+
+def polish_poly_roots(coeffs: jax.Array, roots: jax.Array, iters: int = 2):
+    """Newton-polish roots of a polynomial given coefficients (highest first)."""
+    deg = coeffs.shape[-1] - 1
+    powers = jnp.arange(deg, -1, -1)
+
+    def horner(x):
+        val = jnp.zeros_like(x)
+        der = jnp.zeros_like(x)
+        for i in range(coeffs.shape[-1]):
+            der = der * x + val
+            val = val * x + coeffs[..., i]
+        return val, der
+
+    del powers
+    x = roots
+    for _ in range(iters):
+        val, der = horner(x)
+        step = val / jnp.where(jnp.abs(der) > _EPS, der, jnp.ones_like(der))
+        x = x - jnp.clip(step, -1e6, 1e6)
+    return x
+
+
+def quartic_roots_real(coeffs: jax.Array):
+    """Real roots of x^4 + a x^3 + b x^2 + c x + d = 0 (monic, Ferrari).
+
+    Args:
+      coeffs: [4] array (a, b, c, d).
+
+    Returns:
+      (roots [4], valid [4] bool). Invalid lanes duplicate a valid root.
+    """
+    a, b, c, d = coeffs[0], coeffs[1], coeffs[2], coeffs[3]
+    dtype = coeffs.dtype
+    # Depress: x = y - a/4 -> y^4 + p y^2 + q y + r.
+    a2 = a * a
+    p = b - 3.0 * a2 / 8.0
+    q = c - a * b / 2.0 + a2 * a / 8.0
+    r = d - a * c / 4.0 + a2 * b / 16.0 - 3.0 * a2 * a2 / 256.0
+
+    # Resolvent cubic: 8 m^3 + 8 p m^2 + (2 p^2 - 8 r) m - q^2 = 0.
+    m_roots, m_valid = cubic_roots_real(
+        jnp.asarray(8.0, dtype), 8.0 * p, 2.0 * p * p - 8.0 * r, -q * q
+    )
+    # Pick the largest real positive root.
+    m_cand = jnp.where(m_valid, m_roots, -jnp.inf)
+    m = jnp.max(m_cand)
+    m = jnp.maximum(m, 1e-10)
+
+    sqrt2m = jnp.sqrt(2.0 * m)
+    q_safe = jnp.where(jnp.abs(sqrt2m) > _EPS, q / sqrt2m, jnp.zeros((), dtype))
+    # y^2 +/- sqrt(2m) y + (p/2 + m -/+ q/(2 sqrt(2m))) = 0
+    c1 = p / 2.0 + m - q_safe / 2.0
+    c2 = p / 2.0 + m + q_safe / 2.0
+
+    def quad(bq, cq):
+        disc = bq * bq - 4.0 * cq
+        ok = disc >= 0.0
+        s = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return (-bq - s) / 2.0, (-bq + s) / 2.0, ok
+
+    y0, y1, ok_a = quad(sqrt2m, c1)
+    y2, y3, ok_b = quad(-sqrt2m, c2)
+    roots = jnp.stack([y0, y1, y2, y3]) - a / 4.0
+    valid = jnp.stack([ok_a, ok_a, ok_b, ok_b])
+    roots = polish_poly_roots(
+        jnp.stack([jnp.ones((), dtype), a, b, c, d]), roots, iters=2
+    )
+    # Replace invalid lanes with the first valid root for safe evaluation.
+    any_valid = jnp.any(valid)
+    first_valid = jnp.argmax(valid)
+    filler = roots[first_valid]
+    roots = jnp.where(valid, roots, filler)
+    valid = valid & any_valid
+    return roots, valid
+
+
+def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array):
+    """Weighted rigid alignment: find R, t with dst ~ R @ src + t.
+
+    Args:
+      src: [N, 3] source points (e.g. world).
+      dst: [N, 3] target points (e.g. camera frame).
+      weights: [N] non-negative weights.
+
+    Returns:
+      (R [3, 3], t [3], valid bool scalar).
+    """
+    wsum = jnp.maximum(jnp.sum(weights), _EPS)
+    mu_s = jnp.sum(weights[:, None] * src, axis=0) / wsum
+    mu_d = jnp.sum(weights[:, None] * dst, axis=0) / wsum
+    cs = src - mu_s
+    cd = dst - mu_d
+    H = (weights[:, None] * cs).T @ cd  # 3x3 cross-covariance
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0], H.dtype)).at[2, 2].set(jnp.sign(det))
+    R = Vt.T @ D @ U.T
+    t = mu_d - R @ mu_s
+    valid = jnp.isfinite(R).all() & jnp.isfinite(t).all()
+    return R, t, valid

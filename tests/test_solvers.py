@@ -1,0 +1,296 @@
+"""Unit tests for the batched minimal / non-minimal solvers.
+
+Strategy (SURVEY.md §4): the reference ships no tests; we build the pyramid
+ourselves. Solvers are checked against analytic constructions — a solver is
+correct if it (a) reproduces a synthetic ground-truth model from noise-free
+samples and (b) yields ~zero residuals at its own sample points.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from progressivex_tpu.models import (
+    FUNDAMENTAL,
+    HOMOGRAPHY,
+    LINE2D,
+    PNP,
+    VANISHING_POINT,
+)
+
+
+def rng(seed=0):
+    return np.random.default_rng(seed)
+
+
+# ---------------------------------------------------------------------------
+# line2d
+# ---------------------------------------------------------------------------
+
+
+def test_line_minimal_exact():
+    samples = jnp.array([[0.0, 1.0], [2.0, 3.0]])
+    descs, valid = LINE2D.minimal_solver(samples)
+    assert bool(valid[0])
+    r2 = LINE2D.squared_residual(samples, descs[0])
+    np.testing.assert_allclose(np.asarray(r2), 0.0, atol=1e-10)
+    # The line x - y + 1 = 0 normalized.
+    a, b, c = np.asarray(descs[0])
+    assert abs(a * 5 + b * 6 + c) < 1e-6  # (5,6) lies on it
+
+
+def test_line_minimal_degenerate():
+    samples = jnp.array([[1.0, 1.0], [1.0, 1.0]])
+    _, valid = LINE2D.minimal_solver(samples)
+    assert not bool(valid[0])
+
+
+def test_line_nonminimal_weighted():
+    r = rng(1)
+    t = r.uniform(-5, 5, size=(50,))
+    pts = np.stack([t, 2.0 * t + 1.0], axis=-1)
+    pts += r.normal(scale=1e-3, size=pts.shape)
+    # Add gross outliers with zero weight: they must not affect the fit.
+    out = r.uniform(-100, 100, size=(20, 2))
+    data = jnp.array(np.concatenate([pts, out]), jnp.float32)
+    w = jnp.array([1.0] * 50 + [0.0] * 20, jnp.float32)
+    desc, valid = LINE2D.nonminimal_solver(data, w)
+    assert bool(valid)
+    r2 = LINE2D.squared_residual(data[:50], desc)
+    assert float(jnp.sqrt(r2).max()) < 0.01
+
+
+def test_line_residual_is_distance():
+    desc = jnp.array([0.0, 1.0, -2.0])  # y = 2
+    data = jnp.array([[10.0, 5.0], [0.0, 2.0]])
+    r2 = np.asarray(LINE2D.squared_residual(data, desc))
+    np.testing.assert_allclose(r2, [9.0, 0.0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# vanishing point
+# ---------------------------------------------------------------------------
+
+
+def make_vp_segments(vp, n, seed=0, noise=0.0):
+    """Segments whose supporting lines pass (near) a finite VP."""
+    r = rng(seed)
+    mids = r.uniform(-10, 10, size=(n, 2))
+    segs = []
+    for m in mids:
+        d = m - vp[:2] / vp[2]
+        d = d / np.linalg.norm(d)
+        half = r.uniform(0.5, 1.5)
+        s = m - half * d + r.normal(scale=noise, size=2)
+        e = m + half * d + r.normal(scale=noise, size=2)
+        segs.append([s[0], s[1], e[0], e[1]])
+    return np.array(segs)
+
+
+def test_vp_minimal_exact():
+    vp = np.array([3.0, -2.0, 1.0])
+    segs = make_vp_segments(vp, 2, seed=2)
+    descs, valid = VANISHING_POINT.minimal_solver(jnp.array(segs))
+    assert bool(valid[0])
+    v = np.asarray(descs[0])
+    v = v / v[2]
+    np.testing.assert_allclose(v[:2], vp[:2], atol=1e-4)
+
+
+def test_vp_residual_zero_for_exact():
+    vp = np.array([3.0, -2.0, 1.0])
+    segs = make_vp_segments(vp, 30, seed=3)
+    desc = jnp.array(vp / np.linalg.norm(vp))
+    r2 = VANISHING_POINT.squared_residual(jnp.array(segs), desc)
+    assert float(jnp.max(r2)) < 1e-8
+
+
+def test_vp_nonminimal_recovers():
+    vp = np.array([5.0, 4.0, 1.0])
+    segs = make_vp_segments(vp, 40, seed=4, noise=1e-3)
+    desc, valid = VANISHING_POINT.nonminimal_solver(
+        jnp.array(segs), jnp.ones((40,))
+    )
+    assert bool(valid)
+    v = np.asarray(desc)
+    v = v / v[2]
+    np.testing.assert_allclose(v[:2], vp[:2], atol=0.05)
+
+
+# ---------------------------------------------------------------------------
+# homography
+# ---------------------------------------------------------------------------
+
+
+def make_h_corrs(H, n, seed=0, noise=0.0, scale=100.0):
+    r = rng(seed)
+    p1 = r.uniform(0, scale, size=(n, 2))
+    ph = np.concatenate([p1, np.ones((n, 1))], axis=1) @ H.T
+    p2 = ph[:, :2] / ph[:, 2:3] + r.normal(scale=noise, size=(n, 2))
+    return np.concatenate([p1, p2], axis=1)
+
+
+GT_H = np.array([[1.1, 0.02, 5.0], [-0.03, 0.95, -7.0], [1e-4, -2e-4, 1.0]])
+
+
+def test_homography_minimal_exact():
+    corrs = make_h_corrs(GT_H, 4, seed=5)
+    descs, valid = HOMOGRAPHY.minimal_solver(jnp.array(corrs, jnp.float32))
+    assert bool(valid[0])
+    # Residuals at the sample points must be ~0 and GT inliers small.
+    more = make_h_corrs(GT_H, 100, seed=6)
+    r2 = HOMOGRAPHY.squared_residual(jnp.array(more, jnp.float32), descs[0])
+    assert float(jnp.sqrt(r2).max()) < 0.5  # f32 DLT tolerance in pixels
+
+
+def test_homography_nonminimal_weighted():
+    corrs = make_h_corrs(GT_H, 80, seed=7, noise=0.05)
+    junk = rng(8).uniform(0, 100, size=(30, 4))
+    data = jnp.array(np.concatenate([corrs, junk]), jnp.float32)
+    w = jnp.array([1.0] * 80 + [0.0] * 30, jnp.float32)
+    desc, valid = HOMOGRAPHY.nonminimal_solver(data, w)
+    assert bool(valid)
+    r2 = HOMOGRAPHY.squared_residual(data[:80], desc)
+    assert float(jnp.sqrt(r2).mean()) < 0.3
+
+
+def test_homography_residual_formula():
+    desc = jnp.array(GT_H.reshape(9), jnp.float32)
+    corrs = make_h_corrs(GT_H, 20, seed=9)
+    corrs[:, 2] += 3.0  # shift destination x by 3 -> residual 3
+    r2 = HOMOGRAPHY.squared_residual(jnp.array(corrs, jnp.float32), desc)
+    np.testing.assert_allclose(np.sqrt(np.asarray(r2)), 3.0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# fundamental matrix
+# ---------------------------------------------------------------------------
+
+
+def make_f_scene(n, seed=0, noise=0.0):
+    """Synthetic two-view geometry; returns (corrs [n,4], F [3,3])."""
+    r = rng(seed)
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    Rm = _rotation(r.normal(size=3) * 0.1)
+    t = np.array([1.0, 0.2, 0.1])
+    X = r.uniform(-1, 1, size=(n, 3)) + np.array([0, 0, 5.0])
+    x1 = (X @ K.T)
+    x1 = x1[:, :2] / x1[:, 2:3]
+    Xc2 = X @ Rm.T + t
+    x2 = (Xc2 @ K.T)
+    x2 = x2[:, :2] / x2[:, 2:3]
+    x1 += r.normal(scale=noise, size=x1.shape)
+    x2 += r.normal(scale=noise, size=x2.shape)
+    tx = np.array([[0, -t[2], t[1]], [t[2], 0, -t[0]], [-t[1], t[0], 0]])
+    E = tx @ Rm
+    F = np.linalg.inv(K).T @ E @ np.linalg.inv(K)
+    F = F / np.linalg.norm(F)
+    return np.concatenate([x1, x2], axis=1), F
+
+
+def _rotation(rv):
+    theta = np.linalg.norm(rv)
+    if theta < 1e-12:
+        return np.eye(3)
+    k = rv / theta
+    kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * kx @ kx
+
+
+def test_fundamental_sampson_zero_on_gt():
+    corrs, F = make_f_scene(50, seed=10)
+    r2 = FUNDAMENTAL.squared_residual(
+        jnp.array(corrs, jnp.float32), jnp.array(F.reshape(9), jnp.float32)
+    )
+    assert float(jnp.sqrt(r2).max()) < 0.05
+
+
+def test_fundamental_seven_point():
+    corrs, F = make_f_scene(200, seed=11)
+    samples = jnp.array(corrs[:7], jnp.float32)
+    descs, valid = FUNDAMENTAL.minimal_solver(samples)
+    assert bool(valid.any())
+    # At least one of the (up to) 3 solutions must explain the full scene.
+    r2 = jax.vmap(lambda d: FUNDAMENTAL.squared_residual(
+        jnp.array(corrs, jnp.float32), d))(descs)
+    med = jnp.median(jnp.sqrt(r2), axis=1)
+    med = jnp.where(valid, med, jnp.inf)
+    assert float(jnp.min(med)) < 0.5
+
+
+def test_fundamental_eight_point_weighted():
+    corrs, F = make_f_scene(120, seed=12, noise=0.2)
+    junk = rng(13).uniform(0, 600, size=(40, 4))
+    data = jnp.array(np.concatenate([corrs, junk]), jnp.float32)
+    w = jnp.array([1.0] * 120 + [0.0] * 40, jnp.float32)
+    desc, valid = FUNDAMENTAL.nonminimal_solver(data, w)
+    assert bool(valid)
+    r2 = FUNDAMENTAL.squared_residual(data[:120], desc)
+    assert float(jnp.median(jnp.sqrt(r2))) < 0.5
+
+
+# ---------------------------------------------------------------------------
+# PnP
+# ---------------------------------------------------------------------------
+
+
+def make_pnp_scene(n, seed=0, noise=0.0):
+    r = rng(seed)
+    Rm = _rotation(r.normal(size=3) * 0.3)
+    t = np.array([0.1, -0.2, 4.0])
+    X = r.uniform(-1, 1, size=(n, 3))
+    q = X @ Rm.T + t
+    xy = q[:, :2] / q[:, 2:3] + r.normal(scale=noise, size=(n, 2))
+    data = np.concatenate([xy, X], axis=1)
+    return data, Rm, t
+
+
+def test_pnp_residual_zero_on_gt():
+    data, Rm, t = make_pnp_scene(40, seed=14)
+    desc = jnp.array(np.concatenate([Rm, t[:, None]], axis=1).reshape(12), jnp.float32)
+    r2 = PNP.squared_residual(jnp.array(data, jnp.float32), desc)
+    assert float(jnp.max(r2)) < 1e-5  # f32 matmul rounding
+
+
+def test_p3p_recovers_pose():
+    data, Rm, t = make_pnp_scene(50, seed=15)
+    samples = jnp.array(data[:3], jnp.float32)
+    descs, valid = PNP.minimal_solver(samples)
+    assert bool(valid.any())
+    r2 = jax.vmap(lambda d: PNP.squared_residual(jnp.array(data, jnp.float32), d))(
+        descs
+    )
+    med = jnp.median(r2, axis=1)
+    med = jnp.where(valid, med, jnp.inf)
+    # One of the P3P roots must be the true pose (checked on all 50 points).
+    assert float(jnp.min(med)) < 1e-4
+
+
+def test_pnp_nonminimal_weighted():
+    data, Rm, t = make_pnp_scene(60, seed=16, noise=1e-3)
+    junk = rng(17).uniform(-1, 1, size=(20, 5))
+    full = jnp.array(np.concatenate([data, junk]), jnp.float32)
+    w = jnp.array([1.0] * 60 + [0.0] * 20, jnp.float32)
+    desc, valid = PNP.nonminimal_solver(full, w)
+    assert bool(valid)
+    P = np.asarray(desc).reshape(3, 4)
+    np.testing.assert_allclose(P[:, :3], Rm, atol=2e-2)
+    np.testing.assert_allclose(P[:, 3], t, atol=2e-2)
+    # The refit pose must reproject the clean points accurately.
+    r2 = PNP.squared_residual(full[:60], desc)
+    assert float(jnp.sqrt(r2).max()) < 2e-2
+
+
+@pytest.mark.parametrize(
+    "family,n",
+    [(LINE2D, 2), (VANISHING_POINT, 2), (HOMOGRAPHY, 4), (FUNDAMENTAL, 7), (PNP, 3)],
+)
+def test_minimal_solvers_vmap_and_jit(family, n):
+    """Every minimal solver must be vmappable and jittable (engine contract)."""
+    r = rng(20)
+    batch = jnp.array(r.uniform(0, 10, size=(16, n, family.data_dim)), jnp.float32)
+    descs, valid = jax.jit(jax.vmap(family.minimal_solver))(batch)
+    assert descs.shape == (16, family.max_solutions, family.desc_dim)
+    assert valid.shape == (16, family.max_solutions)
