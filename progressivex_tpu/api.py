@@ -1,0 +1,348 @@
+"""pyprogressivex-compatible Python API.
+
+Function names, keyword names, defaults, return shapes and the labeling
+convention mirror the reference bindings
+(`/root/reference/src/pyprogressivex/src/bindings.cpp:410-491`):
+
+  findLines(points, weights, w, h, ...)            -> ([K,3], labeling)
+  findVanishingPoints(lines, weights, w, h, ...)   -> ([K,3], labeling)
+  findHomographies(corrs, w1, h1, w2, h2, ...)     -> ([3K,3], labeling)
+  findTwoViewMotions(corrs, w1, h1, w2, h2, ...)   -> ([3K,3], labeling)
+  find6DPoses(x1y1, x2y2z2, K, ...)                -> ([3K,4], labeling)
+
+labeling[i] in {0..K-1} names the model instance, K means outlier
+(reference `progressive_x.h:375-385` + PEARL labels).
+
+Sampler ids follow the reference front ends
+(`progressivex_python.cpp:215-245`): 0 uniform, 1 PROSAC, 2 P-NAPSAC,
+3 NAPSAC (for findLines the reference numbers NAPSAC as 2,
+`progressivex_python.cpp:474-476` — both 2 and 3 map to NAPSAC here;
+vanishing points accept 0/1 only and fall back to uniform, matching
+`progressivex_python.cpp:353-366`).
+
+`max_iters` (the reference's per-proposal RANSAC iteration cap,
+`progressivex_python.cpp:271`) sets the batched hypothesis budget: one
+proposal round draws min(max_iters, 2048) minimal samples at once instead
+of iterating sequentially.
+
+Extra keyword (extension): `random_seed` — the engine is deterministic
+given a seed; the reference uses an unseeded std RNG.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from progressivex_tpu.core.config import EngineConfig, make_params
+from progressivex_tpu.core import engine
+from progressivex_tpu.models import get_family
+
+_PAD = 128  # pad point counts to a lane-width multiple
+_MAX_HYP = 2048
+_UNLIMITED = 10**9
+
+
+def _pad_to(n: int) -> int:
+    return max(_PAD, -(-n // _PAD) * _PAD)
+
+
+def _hyp_budget(max_iters: int) -> int:
+    return int(min(max(int(max_iters), 64), _MAX_HYP))
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_fit(family_name: str, cfg: EngineConfig, n_pad: int, has_graph: bool):
+    family = get_family(family_name)
+
+    def run(data, mask, weights, key, params, graph_data):
+        gd = graph_data if has_graph else None
+        return engine.fit(family, cfg, params, data, mask, weights, key, gd)
+
+    return jax.jit(run)
+
+
+def _run(
+    family_name,
+    data,
+    weights,
+    *,
+    threshold,
+    conf,
+    spatial_coherence_weight,
+    neighborhood_ball_radius,
+    maximum_tanimoto_similarity,
+    max_iters,
+    minimum_point_number,
+    maximum_model_number,
+    sampler_id,
+    scoring_exponent,
+    do_logging=False,
+    random_seed=0,
+    graph_data=None,
+):
+    t0 = time.perf_counter()
+    data = np.ascontiguousarray(data, np.float32)
+    n = data.shape[0]
+    n_pad = _pad_to(n)
+
+    pad = ((0, n_pad - n), (0, 0))
+    data_p = np.pad(data, pad)
+    mask = np.zeros((n_pad,), bool)
+    mask[:n] = True
+    w = np.ones((n_pad,), np.float32)
+    if weights is not None and np.size(weights) > 0:
+        w[:n] = np.asarray(weights, np.float32).reshape(-1)[:n]
+    w[n:] = 0.0
+    graph_p = None
+    if graph_data is not None:
+        graph_p = np.pad(np.ascontiguousarray(graph_data, np.float32), pad)
+
+    cfg = EngineConfig(
+        family=family_name,
+        n_hypotheses=_hyp_budget(max_iters),
+        sampler_id=int(sampler_id),
+    )
+    params = make_params(
+        threshold=threshold,
+        confidence=conf,
+        spatial_weight=spatial_coherence_weight,
+        neighborhood_radius=neighborhood_ball_radius,
+        max_tanimoto=maximum_tanimoto_similarity,
+        min_inliers=minimum_point_number,
+        max_models=maximum_model_number if maximum_model_number > 0 else _UNLIMITED,
+        scoring_exponent=scoring_exponent,
+        n_valid=n,
+    )
+    fit_fn = _compiled_fit(family_name, cfg, n_pad, graph_p is not None)
+    key = jax.random.PRNGKey(int(random_seed))
+    result = fit_fn(
+        jnp.asarray(data_p), jnp.asarray(mask), jnp.asarray(w), key, params,
+        jnp.asarray(graph_p) if graph_p is not None else jnp.zeros_like(data_p),
+    )
+    descs, labels = engine.compact_result(
+        jax.tree.map(np.asarray, result), n
+    )
+    if do_logging:
+        print(
+            f"[progressivex_tpu] {family_name}: {descs.shape[0]} instances, "
+            f"{int(result.rounds_run)} rounds, "
+            f"{int(result.total_iters)} samples, "
+            f"{time.perf_counter() - t0:.3f}s"
+        )
+    return descs, labels
+
+
+def _stack_desc(descs, shape):
+    if descs.shape[0] == 0:
+        return np.zeros((0, shape[1]), np.float64)
+    return descs.reshape(-1, *shape).reshape(-1, shape[1]).astype(np.float64)
+
+
+def findLines(
+    points,
+    weights=None,
+    w=0,
+    h=0,
+    threshold=2.0,
+    conf=0.5,
+    spatial_coherence_weight=0.0,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=3,
+    scoring_exponent=2,
+    do_logging=False,
+    random_seed=0,
+):
+    """Multi 2D-line fitting. points: [N,2]. Returns ([K,3] (a,b,c), labeling)."""
+    points = np.asarray(points, np.float64)
+    if points.ndim != 2 or points.shape[1] != 2 or points.shape[0] < 2:
+        raise ValueError("points should be an array with dims [n,2], n>=2")
+    sid = {0: 0, 1: 1, 2: 3, 3: 3}.get(int(sampler_id), 0)
+    descs, labels = _run(
+        "line2d", points, weights,
+        threshold=threshold, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sid,
+        scoring_exponent=scoring_exponent, do_logging=do_logging,
+        random_seed=random_seed,
+    )
+    return descs.astype(np.float64), labels
+
+
+def findVanishingPoints(
+    lines,
+    weights=None,
+    w=0,
+    h=0,
+    threshold=4.0,
+    conf=0.5,
+    spatial_coherence_weight=0.0,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=3,
+    scoring_exponent=2,
+    do_logging=False,
+    random_seed=0,
+):
+    """Multi vanishing-point fitting. lines: [N,4] segments [xs,ys,xe,ye].
+    Returns ([K,3] unit homogeneous VPs, labeling)."""
+    lines = np.asarray(lines, np.float64)
+    if lines.ndim != 2 or lines.shape[1] != 4 or lines.shape[0] < 2:
+        raise ValueError("lines should be an array with dims [n,4], n>=2")
+    sid = int(sampler_id) if int(sampler_id) in (0, 1) else 0
+    descs, labels = _run(
+        "vanishing_point", lines, weights,
+        threshold=threshold, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sid,
+        scoring_exponent=scoring_exponent, do_logging=do_logging,
+        random_seed=random_seed,
+    )
+    return descs.astype(np.float64), labels
+
+
+def findHomographies(
+    corrs,
+    w1=0,
+    h1=0,
+    w2=0,
+    h2=0,
+    threshold=4.0,
+    conf=0.5,
+    spatial_coherence_weight=0.0,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=3,
+    scoring_exponent=2,
+    do_logging=False,
+    random_seed=0,
+):
+    """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
+    Returns ([3K,3] stacked row-major 3x3s, labeling)."""
+    corrs = np.asarray(corrs, np.float64)
+    if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
+        raise ValueError("corrs should be an array with dims [n,4], n>=4")
+    descs, labels = _run(
+        "homography", corrs, None,
+        threshold=threshold, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sampler_id,
+        scoring_exponent=scoring_exponent, do_logging=do_logging,
+        random_seed=random_seed,
+    )
+    return descs.reshape(-1, 3).astype(np.float64), labels
+
+
+def findTwoViewMotions(
+    corrs,
+    w1=0,
+    h1=0,
+    w2=0,
+    h2=0,
+    threshold=4.0,
+    conf=0.5,
+    spatial_coherence_weight=0.0,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=3,
+    scoring_exponent=3,
+    do_logging=False,
+    random_seed=0,
+):
+    """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
+    Returns ([3K,3] stacked row-major 3x3 F matrices, labeling)."""
+    corrs = np.asarray(corrs, np.float64)
+    if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
+        raise ValueError("corrs should be an array with dims [n,4], n>=7")
+    descs, labels = _run(
+        "fundamental", corrs, None,
+        threshold=threshold, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sampler_id,
+        scoring_exponent=scoring_exponent, do_logging=do_logging,
+        random_seed=random_seed,
+    )
+    return descs.reshape(-1, 3).astype(np.float64), labels
+
+
+def find6DPoses(
+    x1y1,
+    x2y2z2,
+    K,
+    threshold=4.0,
+    conf=0.90,
+    spatial_coherence_weight=0.1,
+    neighborhood_ball_radius=20.0,
+    maximum_tanimoto_similarity=0.9,
+    max_iters=400,
+    minimum_point_number=6,
+    maximum_model_number=-1,
+    do_logging=False,
+    random_seed=0,
+):
+    """Multi 6D-pose fitting from 2D-3D correspondences.
+    x1y1: [N,2] pixel coords, x2y2z2: [N,3] world points, K: [3,3].
+    Returns ([3K_models, 4] stacked row-major [R|t] poses, labeling).
+
+    Preprocessing mirrors `progressivex_python.cpp:64-105`: image points are
+    normalized by K^-1 and the threshold divided by the mean focal length;
+    the neighborhood graph is built on the UNnormalized 5D rows."""
+    x1y1 = np.asarray(x1y1, np.float64)
+    x2y2z2 = np.asarray(x2y2z2, np.float64)
+    K = np.asarray(K, np.float64)
+    if x1y1.ndim != 2 or x1y1.shape[1] != 2 or x1y1.shape[0] < 3:
+        raise ValueError("x1y1 should be an array with dims [n,2], n>=3")
+    if x2y2z2.shape != (x1y1.shape[0], 3):
+        raise ValueError("x2y2z2 should be an array with dims [n,3], n>=3")
+    if K.shape != (3, 3):
+        raise ValueError("K should be an array with dims [3,3]")
+
+    Kinv = np.linalg.inv(K)
+    ones = np.ones((x1y1.shape[0], 1))
+    norm_xy = (np.concatenate([x1y1, ones], axis=1) @ Kinv.T)[:, :2]
+    data = np.concatenate([norm_xy, x2y2z2], axis=1)
+    graph_data = np.concatenate([x1y1, x2y2z2], axis=1)
+    f = 0.5 * (K[0, 0] + K[1, 1])
+
+    descs, labels = _run(
+        "pnp", data, None,
+        threshold=threshold / f, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=0,
+        scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
+        graph_data=graph_data,
+    )
+    return descs.reshape(-1, 4).astype(np.float64), labels

@@ -1,0 +1,98 @@
+"""Engine configuration.
+
+Two tiers, mirroring the reference's `MultiModelSettings`
+(`/root/reference/src/pyprogressivex/include/progressive_x.h:32-73`) but
+split by compilation role:
+
+  * EngineConfig — STATIC (hashable, baked into the jit): shapes, loop trip
+    counts, sampler id, family name. Changing these recompiles.
+  * RuntimeParams — DYNAMIC (a pytree of scalars): thresholds, confidence,
+    weights. Changing these re-uses the compiled program.
+
+Defaults follow the reference: 10 proposal rounds max
+(`progressive_x.h:272`), tanimoto 0.5 / min inliers 20 / max 10 consecutive
+rejections (`progressive_x.h:55-72`), PEARL max iterations
+(`progressive_x.h:533`), truncation tau_t^2 = 9/4 tau^2
+(`progressive_x.h:523`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    family: str  # model family name (models/base.py registry)
+    n_hypotheses: int = 512  # minimal samples drawn per proposal round
+    max_models: int = 10  # static slot count (== max accepted, 10 rounds cap)
+    max_rounds: int = 10  # reference hard cap (progressive_x.h:272)
+    lo_steps: int = 4  # IRLS local-optimization steps on the best proposal
+    pearl_iters: int = 5  # PEARL alternations (labeling <-> refit)
+    icm_sweeps: int = 8  # ICM sweeps per labeling call
+    knn_k: int = 12  # neighbor count of the kNN graph
+    sampler_id: int = 0  # 0 uniform / 1 PROSAC / 2 P-NAPSAC / 3 NAPSAC
+    hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
+    # each device draws n_hypotheses samples and the best proposal is
+    # reduced across the axis (see parallel/sharding.py)
+
+    def __post_init__(self):
+        if self.max_models < self.max_rounds:
+            # Every round can accept at most one model; slots must cover it.
+            object.__setattr__(self, "max_models", self.max_rounds)
+
+
+class RuntimeParams(NamedTuple):
+    """Dynamic scalars (all jnp 0-d arrays or Python numbers)."""
+
+    threshold: jnp.ndarray  # inlier-outlier threshold tau
+    confidence: jnp.ndarray  # RANSAC confidence
+    spatial_weight: jnp.ndarray  # PEARL Potts weight w
+    neighborhood_radius: jnp.ndarray  # kNN ball radius
+    max_tanimoto: jnp.ndarray  # proposal-vs-compound acceptance bound
+    min_inliers: jnp.ndarray  # minimum inlier count (also PEARL label cost)
+    max_models: jnp.ndarray  # user cap on instances (int32; big = unlimited)
+    scoring_exponent: jnp.ndarray  # compound-penalty exponent
+    max_rejections: jnp.ndarray  # consecutive-rejection bailout (default 10)
+    n_valid: jnp.ndarray  # true (unpadded) point count
+
+
+def make_params(
+    threshold=2.0,
+    confidence=0.95,
+    spatial_weight=0.14,
+    neighborhood_radius=8.0,
+    max_tanimoto=0.5,
+    min_inliers=20,
+    max_models=10**9,
+    scoring_exponent=2.0,
+    max_rejections=10,
+    n_valid=0,
+) -> RuntimeParams:
+    # NumPy (not jnp) scalars: params often ride into jit as closure
+    # constants, and materializing device arrays during lowering forces a
+    # device round-trip per leaf — pathologically slow on some hosts.
+    import numpy as np
+
+    f = lambda v: np.float32(v) if np.ndim(v) == 0 else np.asarray(v, np.float32)
+    i = lambda v: np.int32(v) if np.ndim(v) == 0 else np.asarray(v, np.int32)
+    return RuntimeParams(
+        threshold=f(threshold),
+        confidence=f(confidence),
+        spatial_weight=f(spatial_weight),
+        neighborhood_radius=f(neighborhood_radius),
+        max_tanimoto=f(max_tanimoto),
+        min_inliers=i(min_inliers),
+        max_models=i(max_models),
+        scoring_exponent=f(scoring_exponent),
+        max_rejections=i(max_rejections),
+        n_valid=i(n_valid),
+    )
+
+
+def truncated_sq_threshold(threshold):
+    """tau_t^2 = 9/4 tau^2 (reference progressive_x.h:523)."""
+    return 2.25 * threshold * threshold

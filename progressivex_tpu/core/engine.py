@@ -1,0 +1,330 @@
+"""The Progressive-X outer loop, as one jittable / vmappable XLA program.
+
+Reference control flow (`/root/reference/src/pyprogressivex/include/
+progressive_x.h:251-489`): for up to 10 rounds — propose one model with
+GC-RANSAC (compound-penalized scoring), validate it (min inliers + Tanimoto,
+`progressive_x.h:565-591`), optimize the compound instance with PEARL,
+update the compound preference vector (`progressive_x.h:597-624`), and stop
+when the predicted number of unseen inliers (`progressive_x.h:495-513`)
+drops below the minimum or the model cap is reached.
+
+TPU-first redesign (SURVEY.md §7): the three nested sequential levels of the
+reference (proposal -> hypothesis -> point) flatten into dense batched
+tensor ops:
+
+  * proposal   = B minimal samples drawn at once (ops/sampling.py), solved
+    by one vmapped closed-form solver, scored as one [B*S, N] penalized
+    preference tensor (ops/scoring.py), argmax — replacing up to
+    `max_iters` sequential hypothesize-verify iterations;
+  * local optimization = a few IRLS refit steps with truncated-quadratic
+    weights (the batched counterpart of GC-RANSAC's graph-cut-guided LO);
+  * the outer 10-round loop is a `lax.scan` carrying fixed-shape state
+    ([K_max] model slots + masks), so whole scenes vmap/shard over a mesh.
+
+State-shape discipline: a model accepted in round r occupies slot r; slots
+are never reused, so `max_models >= max_rounds` always holds and insertion
+order (= reference output order) is preserved.
+
+Deliberate deviation: `updateCompoundModel` in the reference mixes stored
+(possibly stale) preference vectors with fresh residuals
+(progressive_x.h:610-623); here preferences are always recomputed from the
+current descriptors after PEARL refits, which is strictly more accurate.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from progressivex_tpu.core.config import (
+    EngineConfig,
+    RuntimeParams,
+    truncated_sq_threshold,
+)
+from progressivex_tpu.core.pearl import pearl_run
+from progressivex_tpu.models.base import ModelFamily
+from progressivex_tpu.ops.knn import knn_graph
+from progressivex_tpu.ops.sampling import sample_minimal
+from progressivex_tpu.ops.scoring import (
+    compound_penalized_scores,
+    tanimoto_similarity,
+    truncated_preference,
+)
+
+_NEG = -1e30
+
+
+class FitState(NamedTuple):
+    key: jnp.ndarray
+    descs: jnp.ndarray  # [K, D]
+    active: jnp.ndarray  # [K] bool
+    labels: jnp.ndarray  # [N] int32 slot labels, K = outlier
+    compound_pref: jnp.ndarray  # [N]
+    n_slots_used: jnp.ndarray  # int32
+    total_iters: jnp.ndarray  # int32 — minimal samples drawn so far
+    rejections: jnp.ndarray  # int32 — consecutive rejected proposals
+    done: jnp.ndarray  # bool
+
+
+class FitResult(NamedTuple):
+    descs: jnp.ndarray  # [K, D]
+    active: jnp.ndarray  # [K] bool
+    labels: jnp.ndarray  # [N] int32 slot labels, K = outlier
+    n_models: jnp.ndarray  # int32
+    total_iters: jnp.ndarray  # int32
+    rounds_run: jnp.ndarray  # int32
+
+
+def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
+              compound_pref, has_compound, key):
+    """One batched proposal + IRLS local optimization.
+
+    Returns (desc [D], score, valid, sq_residuals [N]).
+    """
+    trunc_sq = truncated_sq_threshold(params.threshold)
+    if cfg.hyp_axis is not None:
+        # Hypothesis parallelism: every device along the axis draws its own
+        # batch (decorrelated key) and the best proposal is reduced below.
+        key = jax.random.fold_in(key, lax.axis_index(cfg.hyp_axis))
+    idx, samp_ok = sample_minimal(
+        key,
+        cfg.sampler_id,
+        cfg.n_hypotheses,
+        family.sample_size,
+        pmask,
+        params.n_valid,
+        knn_idx,
+        knn_mask,
+    )
+    samples = data[idx]  # [B, m, d]
+    descs_h, valid_h = jax.vmap(family.minimal_solver)(samples)
+    bs = cfg.n_hypotheses * family.max_solutions
+    descs_f = descs_h.reshape(bs, family.desc_dim)
+    valid_f = (valid_h & samp_ok[:, None]).reshape(bs)
+
+    r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs_f)
+    scores, _, _ = compound_penalized_scores(
+        r2, compound_pref, pmask, trunc_sq, params.scoring_exponent, has_compound
+    )
+    scores = jnp.where(valid_f & jnp.isfinite(scores), scores, _NEG)
+    best = jnp.argmax(scores)
+    desc, score = descs_f[best], scores[best]
+    if cfg.hyp_axis is not None:
+        # Reduce the per-device winners to one global winner (tiny
+        # all-gather of [devices] scores + [devices, D] descriptors on ICI).
+        score_all = lax.all_gather(score, cfg.hyp_axis)
+        desc_all = lax.all_gather(desc, cfg.hyp_axis)
+        gbest = jnp.argmax(score_all)
+        desc, score = desc_all[gbest], score_all[gbest]
+    valid = score > _NEG / 2
+
+    def rescore(d):
+        r2d = family.squared_residual(data, d)
+        s, _, _ = compound_penalized_scores(
+            r2d[None, :], compound_pref, pmask, trunc_sq,
+            params.scoring_exponent, has_compound,
+        )
+        return r2d, s[0]
+
+    def lo_step(carry, _):
+        d, s = carry
+        r2d, _ = rescore(d)
+        w_lo = truncated_preference(r2d, trunc_sq) * pweights * pmask
+        nd, ok = family.nonminimal_solver(data, w_lo)
+        _, s_new = rescore(nd)
+        better = ok & jnp.isfinite(s_new) & (s_new > s)
+        return (
+            jnp.where(better, nd, d),
+            jnp.where(better, s_new, s),
+        ), None
+
+    (desc, score), _ = lax.scan(lo_step, (desc, score), None, length=cfg.lo_steps)
+    r2_best = family.squared_residual(data, desc)
+    return desc, score, valid, r2_best
+
+
+def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, state):
+    """One propose -> validate -> optimize -> update -> terminate round."""
+    k_slots = cfg.max_models
+    outlier_label = jnp.int32(k_slots)
+    trunc_sq = truncated_sq_threshold(params.threshold)
+    key, k_prop = jax.random.split(state.key)
+    has_compound = jnp.any(state.active)
+
+    # --- proposal (GC-RANSAC replacement) ---
+    desc, score, prop_valid, r2_best = _proposal(
+        family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
+        state.compound_pref, has_compound, k_prop,
+    )
+
+    # --- validation (progressive_x.h:565-591) ---
+    pref_p = truncated_preference(r2_best, trunc_sq) * pmask
+    inlier_cnt = jnp.sum((r2_best < trunc_sq) & pmask)
+
+    # Effective RANSAC iteration count: the batch explores up to B samples,
+    # but sequential GC-RANSAC would have stopped adaptively after
+    # k* = log(1-conf)/log(1 - w^m) iterations once a model with inlier
+    # ratio w was found. Feeding k* (not B) into the unseen-inlier
+    # prediction keeps the reference's termination semantics.
+    one_minus_conf = jnp.clip(1.0 - params.confidence, 1e-9, 1.0 - 1e-9)
+    w_best = inlier_cnt.astype(jnp.float32) / jnp.maximum(
+        params.n_valid.astype(jnp.float32), 1.0
+    )
+    miss_p = jnp.clip(
+        1.0 - jnp.power(w_best, family.sample_size), 1e-9, 1.0 - 1e-9
+    )
+    k_star = jnp.ceil(jnp.log(one_minus_conf) / jnp.log(miss_p))
+    eff_iters = jnp.clip(k_star, 1.0, cfg.n_hypotheses).astype(jnp.int32)
+    total_iters = state.total_iters + eff_iters
+    min_needed = jnp.maximum(jnp.int32(family.sample_size), params.min_inliers)
+    tan = tanimoto_similarity(pref_p, state.compound_pref)
+    accepted = (
+        prop_valid
+        & (inlier_cnt >= min_needed)
+        & (tan <= params.max_tanimoto)
+        & jnp.isfinite(desc).all()
+    )
+    rejections = jnp.where(accepted, 0, state.rejections + 1)
+
+    # --- insertion into the next free slot ---
+    slot = state.n_slots_used
+    descs = jnp.where(accepted, state.descs.at[slot].set(desc), state.descs)
+    active = jnp.where(accepted, state.active.at[slot].set(True), state.active)
+    n_slots_used = state.n_slots_used + accepted.astype(jnp.int32)
+
+    # --- optimization (PEARL when >= 2 instances; RANSAC labeling for 1) ---
+    n_active = jnp.sum(active)
+    labels_single = jnp.where(
+        (r2_best < trunc_sq) & pmask, slot.astype(jnp.int32), outlier_label
+    )
+    pres = pearl_run(
+        family, cfg, params, data, pmask, pweights, descs, active,
+        state.labels, knn_idx, knn_mask,
+    )
+    use_pearl = accepted & (n_active > 1)
+    descs = jnp.where(use_pearl, pres.descs, descs)
+    active = jnp.where(use_pearl, pres.active, active)
+    labels = jnp.where(
+        accepted, jnp.where(use_pearl, pres.labels, labels_single), state.labels
+    )
+
+    # --- compound preference update (recomputed from current descriptors) ---
+    r2_all = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs)
+    pref_all = truncated_preference(r2_all, trunc_sq)
+    pref_all = pref_all * active[:, None] * pmask[None, :]
+    compound_pref = jnp.max(pref_all, axis=0, initial=0.0)
+
+    # --- termination (progressive_x.h:495-513, :468-473, :342-344) ---
+    covered = jnp.sum((labels != outlier_label) & pmask)
+    unseen_pts = jnp.maximum(params.n_valid - covered, 0).astype(jnp.float32)
+    iters_f = jnp.maximum(total_iters.astype(jnp.float32), 1.0)
+    inlier_ratio = jnp.power(
+        1.0 - jnp.power(one_minus_conf, 1.0 / iters_f),
+        1.0 / family.sample_size,
+    )
+    unseen = jnp.round(unseen_pts * inlier_ratio)
+    n_active_now = jnp.sum(active)
+    done = (
+        state.done
+        | (rejections >= params.max_rejections)
+        | (accepted & (unseen < params.min_inliers.astype(jnp.float32)))
+        | (accepted & (n_active_now >= params.max_models))
+    )
+
+    new_state = FitState(
+        key=key,
+        descs=descs,
+        active=active,
+        labels=labels,
+        compound_pref=compound_pref,
+        n_slots_used=n_slots_used,
+        total_iters=total_iters,
+        rejections=rejections,
+        done=done,
+    )
+    return new_state, jnp.ones((), bool)
+
+
+def fit(
+    family: ModelFamily,
+    cfg: EngineConfig,
+    params: RuntimeParams,
+    data,  # [N, d] (padded)
+    point_mask,  # [N] bool
+    point_weights,  # [N]
+    key,
+    graph_data=None,  # optional alternative coordinates for the kNN graph
+) -> FitResult:
+    """Run the full multi-model fit for one (padded) scene. Jittable; vmap
+    over a leading scene axis for batched throughput."""
+    n = data.shape[0]
+    k_slots = cfg.max_models
+    gd = data if graph_data is None else graph_data
+    knn_idx, knn_mask = knn_graph(gd, point_mask, params.neighborhood_radius, cfg.knn_k)
+
+    state = FitState(
+        key=key,
+        descs=jnp.zeros((k_slots, family.desc_dim), data.dtype),
+        active=jnp.zeros((k_slots,), bool),
+        labels=jnp.full((n,), k_slots, jnp.int32),
+        compound_pref=jnp.zeros((n,), data.dtype),
+        n_slots_used=jnp.int32(0),
+        total_iters=jnp.int32(0),
+        rejections=jnp.int32(0),
+        done=jnp.zeros((), bool),
+    )
+
+    def body(state, _):
+        def skip(state):
+            key, _ = jax.random.split(state.key)
+            return state._replace(key=key), jnp.zeros((), bool)
+
+        def run(state):
+            return _round(
+                family, cfg, params, data, point_mask, point_weights,
+                knn_idx, knn_mask, state,
+            )
+
+        if cfg.hyp_axis is not None:
+            # The hypothesis-parallel round contains collectives, which are
+            # not allowed under a data-dependent cond; run unconditionally
+            # (all devices agree on `done`) and freeze finished state.
+            new_state, _ = run(state)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(state.done, old, new),
+                new_state,
+                state._replace(key=new_state.key),
+            )
+            return new_state, ~state.done
+        # cond skips finished scenes entirely in single-scene jit; under
+        # vmap it lowers to a select (both branches run, per-lane choice).
+        return lax.cond(state.done, skip, run, state)
+
+    state, ran = lax.scan(body, state, None, length=cfg.max_rounds)
+    return FitResult(
+        descs=state.descs,
+        active=state.active,
+        labels=state.labels,
+        n_models=jnp.sum(state.active).astype(jnp.int32),
+        total_iters=state.total_iters,
+        rounds_run=jnp.sum(ran).astype(jnp.int32),
+    )
+
+
+def compact_result(result: FitResult, n_valid: int):
+    """Host-side compaction: renumber active slots to 0..K-1 in insertion
+    order; outliers (and points of inactive slots) get label K — matching
+    the reference labeling convention (labels 0..K-1 = models, K = outlier;
+    see SURVEY.md §7.6)."""
+    import numpy as np
+
+    active = np.asarray(result.active)
+    descs = np.asarray(result.descs)[active]
+    k_slots = active.shape[0]
+    remap = np.full(k_slots + 1, descs.shape[0], np.int64)
+    remap[:k_slots][active] = np.arange(descs.shape[0])
+    labels = remap[np.asarray(result.labels)][:n_valid]
+    return descs, labels.astype(np.int32)

@@ -1,0 +1,51 @@
+"""Loaders for the bundled ground-truth scenes.
+
+Formats (reference `progx_utils.h:32-96` and the notebook loader
+`dataset_comparison/utils.py:15-27`):
+  * labeled correspondence scenes: rows `x1 y1 1 x2 y2 1 label`
+    (homogeneous columns 2 and 5 dropped),
+  * T-LESS pose scenes: `tless.txt` rows `x y X Y Z`, `tless_intrinsics.txt`
+    a 3x3 K, `tless_poses.txt` one 3x4 [R|t] flattened per row.
+
+Scenes ship with the reference checkout under /root/reference/build/data;
+pass `root=` to point at a different AdelaideRMF download.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+DEFAULT_ROOT = "/root/reference/build/data"
+
+ADELAIDE_H_SCENES = ("oldclassicswing", "unihouse", "unionhouse")
+ADELAIDE_F_SCENES = ("book", "breadcube", "cubetoy")
+
+
+def load_corr_scene(name: str, root: str = DEFAULT_ROOT):
+    """Load a labeled correspondence scene -> (corrs [N,4], labels [N])."""
+    path = os.path.join(root, name, f"{name}.txt")
+    M = np.loadtxt(path)
+    corrs = np.concatenate([M[:, :2], M[:, 3:5]], axis=1)
+    labels = M[:, -1].astype(np.int32)
+    return corrs, labels
+
+
+def load_tless_scene(root: str = DEFAULT_ROOT):
+    """Load the T-LESS 6D-pose scene -> (xy [N,2], xyz [N,3], K [3,3],
+    poses [P,3,4])."""
+    d = os.path.join(root, "tless")
+    pts = np.loadtxt(os.path.join(d, "tless.txt"))
+    K = np.loadtxt(os.path.join(d, "tless_intrinsics.txt")).reshape(3, 3)
+    poses = np.loadtxt(os.path.join(d, "tless_poses.txt"))
+    poses = poses.reshape(-1, 3, 4)
+    return pts[:, :2], pts[:, 2:5], K, poses
+
+
+def list_scenes(root: str = DEFAULT_ROOT):
+    return sorted(
+        n
+        for n in os.listdir(root)
+        if os.path.isfile(os.path.join(root, n, f"{n}.txt"))
+    )

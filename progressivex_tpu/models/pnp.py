@@ -144,24 +144,19 @@ def _nonminimal(data, weights):
     Rp = Pm[:, :3] / s
     tp = Pm[:, 3] - Rp @ mu
 
-    # Project Rp to a rotation; recover scale as the mean singular value.
+    # The DLT null vector is defined up to sign; P and -P reproject
+    # identically (the x = PX/z ratio cancels the sign) but only one has
+    # det(R) > 0. Fix the sign FIRST, then project to SO(3) — projecting a
+    # reflection onto the rotations would give a wrong pose.
+    sgn = jnp.where(jnp.linalg.det(Rp) < 0.0, -1.0, 1.0)
+    Rp = Rp * sgn
+    tp = tp * sgn
     U, S, Vt = jnp.linalg.svd(Rp)
     scale = jnp.maximum(jnp.mean(S), _EPS)
     det = jnp.linalg.det(U @ Vt)
     D = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(jnp.sign(det))
     R = U @ D @ Vt
-    t = tp / (scale * jnp.sign(det))
-
-    # Majority positive depth decides the global sign.
-    depth = Xw @ R[2].T + t[2]
-    flip = jnp.sum(w * jnp.sign(depth)) < 0.0
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
-    # Re-orthonormalize after a possible flip (-R has det -1).
-    U2, _, Vt2 = jnp.linalg.svd(R)
-    det2 = jnp.linalg.det(U2 @ Vt2)
-    D2 = jnp.diag(jnp.array([1.0, 1.0, 1.0], dtype)).at[2, 2].set(jnp.sign(det2))
-    R = U2 @ D2 @ Vt2
+    t = tp / scale
 
     desc = jnp.concatenate([R, t[:, None]], axis=1).reshape(12)
     valid = jnp.isfinite(desc).all() & (jnp.sum(w > 0) >= 6)

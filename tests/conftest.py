@@ -19,3 +19,9 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/progx_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# The image's sitecustomize force-registers the remote "axon" TPU backend
+# with priority over the env var; config.update is the effective override.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

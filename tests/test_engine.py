@@ -1,0 +1,127 @@
+"""End-to-end engine tests on synthetic multi-model scenes (small shapes and
+hypothesis budgets keep CPU compile time manageable)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from progressivex_tpu import findHomographies, findLines, findVanishingPoints
+from progressivex_tpu.io.metrics import misclassification
+
+
+def three_line_scene(seed=0, per_line=60, outliers=80):
+    r = np.random.default_rng(seed)
+    lines = [((0.0, 0.0), (1.0, 0.3)), ((0.0, 50.0), (1.0, -0.2)), ((30.0, 0.0), (0.02, 1.0))]
+    pts, gt = [], []
+    for li, ((x0, y0), (dx, dy)) in enumerate(lines):
+        t = r.uniform(0, 100, per_line)
+        p = np.stack([x0 + dx * t, y0 + dy * t], 1)
+        p += r.normal(scale=0.3, size=p.shape)
+        pts.append(p)
+        gt += [li + 1] * per_line
+    pts.append(r.uniform(-20, 120, (outliers, 2)))
+    gt += [0] * outliers
+    data = np.concatenate(pts)
+    perm = r.permutation(len(data))
+    return data[perm], np.array(gt)[perm]
+
+
+LINE_KW = dict(
+    threshold=1.0, conf=0.95, minimum_point_number=20, sampler_id=0,
+    max_iters=256,
+)
+
+
+def test_lines_end_to_end():
+    data, gt = three_line_scene()
+    models, labels = findLines(data, **LINE_KW)
+    assert models.shape == (3, 3)
+    me = misclassification(labels, gt)
+    assert me < 0.08, me
+
+
+def test_engine_deterministic():
+    data, gt = three_line_scene(1)
+    m1, l1 = findLines(data, random_seed=7, **LINE_KW)
+    m2, l2 = findLines(data, random_seed=7, **LINE_KW)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_allclose(m1, m2)
+
+
+def test_max_model_number_respected():
+    data, gt = three_line_scene(2)
+    models, labels = findLines(data, maximum_model_number=1, **LINE_KW)
+    assert models.shape[0] == 1
+    assert labels.max() <= 1  # one model + outlier class
+
+
+def test_labels_reference_convention():
+    data, gt = three_line_scene(3)
+    models, labels = findLines(data, **LINE_KW)
+    k = models.shape[0]
+    assert set(np.unique(labels)) <= set(range(k + 1))
+    assert len(labels) == len(data)
+
+
+def test_vanishing_points_end_to_end():
+    r = np.random.default_rng(4)
+    # VPs with clearly distinct direction fields (a right VP and a "below"
+    # VP); near-collinear VPs make every segment an inlier of both.
+    vps = [np.array([300.0, 60.0, 1.0]), np.array([50.0, -400.0, 1.0])]
+    segs, gt = [], []
+    for vi, vp in enumerate(vps):
+        mids = r.uniform(0, 100, size=(50, 2))
+        for m in mids:
+            d = m - vp[:2]
+            d /= np.linalg.norm(d)
+            h = r.uniform(2.0, 4.0)
+            s, e = m - h * d, m + h * d
+            segs.append([s[0], s[1], e[0], e[1]])
+        gt += [vi + 1] * 50
+    segs = np.array(segs)
+    segs[:, :2] += r.normal(scale=0.05, size=(len(segs), 2))
+    perm = r.permutation(len(segs))
+    segs, gt = segs[perm], np.array(gt)[perm]
+    models, labels = findVanishingPoints(
+        segs, threshold=1.5, conf=0.95, minimum_point_number=15,
+        sampler_id=0, max_iters=256,
+    )
+    assert models.shape[0] == 2
+    assert misclassification(labels, gt) < 0.1
+
+
+def test_homographies_end_to_end():
+    r = np.random.default_rng(5)
+    Hs = [
+        np.array([[1.0, 0.0, 40.0], [0.0, 1.0, -10.0], [0.0, 0.0, 1.0]]),
+        np.array([[0.9, 0.1, -20.0], [-0.1, 1.1, 30.0], [1e-4, 0.0, 1.0]]),
+    ]
+    corrs, gt = [], []
+    for hi, H in enumerate(Hs):
+        p1 = r.uniform(0, 200, (70, 2))
+        ph = np.concatenate([p1, np.ones((70, 1))], 1) @ H.T
+        p2 = ph[:, :2] / ph[:, 2:3] + r.normal(scale=0.5, size=(70, 2))
+        corrs.append(np.concatenate([p1, p2], 1))
+        gt += [hi + 1] * 70
+    corrs.append(r.uniform(0, 200, (60, 4)))
+    gt += [0] * 60
+    corrs = np.concatenate(corrs)
+    perm = r.permutation(len(corrs))
+    corrs, gt = corrs[perm], np.array(gt)[perm]
+    models, labels = findHomographies(
+        corrs, threshold=3.0, conf=0.9, minimum_point_number=20,
+        sampler_id=0, max_iters=256, spatial_coherence_weight=0.0,
+    )
+    assert models.shape[0] // 3 == 2, models.shape
+    assert misclassification(labels, gt) < 0.12
+
+
+def test_input_validation():
+    with pytest.raises(ValueError):
+        findLines(np.zeros((1, 2)))
+    with pytest.raises(ValueError):
+        findHomographies(np.zeros((3, 4)))
+    with pytest.raises(ValueError):
+        findHomographies(np.zeros((10, 3)))

@@ -1,0 +1,72 @@
+"""Labeling-solver tests: data-cost parity with the reference energy
+(`PEARL.h:82-128`), ICM energy monotonicity, and exact w=0 behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from progressivex_tpu.ops.labeling import data_costs, icm_sweeps, labeling_energy
+
+
+def _random_problem(seed, n=60, k=3, knn=4):
+    r = np.random.default_rng(seed)
+    r2 = r.uniform(0, 10, size=(k, n))
+    active = np.array([True] * k)
+    mask = np.ones(n, bool)
+    idx = np.stack([r.permutation(n)[:knn] for _ in range(n)])
+    knn_mask = np.ones((n, knn), bool)
+    return jnp.array(r2), jnp.array(active), jnp.array(mask), jnp.array(idx), jnp.array(knn_mask)
+
+
+def test_data_costs_reference_values():
+    w = 0.3
+    trunc = 4.0
+    r2 = jnp.array([[0.0, 2.0, 4.1, 100.0]])
+    active = jnp.array([True])
+    mask = jnp.array([True, True, True, True])
+    c = np.asarray(data_costs(r2, active, mask, w, trunc))
+    one_minus_w = 0.7
+    # model label: (1-w)*r2/trunc below threshold, 2(1-w) above
+    np.testing.assert_allclose(
+        c[:, 0], [0.0, one_minus_w * 0.5, 2 * one_minus_w, 2 * one_minus_w],
+        rtol=1e-6,
+    )
+    # outlier label: (1-w)
+    np.testing.assert_allclose(c[:, 1], one_minus_w)
+
+
+def test_data_costs_padding_pins_outlier():
+    r2 = jnp.zeros((2, 3))
+    active = jnp.array([True, True])
+    mask = jnp.array([True, False, True])
+    c = np.asarray(data_costs(r2, active, mask, 0.2, 4.0))
+    assert c[1, 2] == 0.0 and c[1, 0] > 1e17  # padded row -> outlier only
+
+
+def test_icm_monotone_energy():
+    r2, active, mask, idx, knn_mask = _random_problem(1)
+    w = 0.4
+    dcost = data_costs(r2, active, mask, w, 4.0)
+    labels0 = jnp.full((r2.shape[1],), r2.shape[0], jnp.int32)  # all outlier
+    e0 = labeling_energy(dcost, labels0, idx, knn_mask, w)
+    labels1, e1 = icm_sweeps(dcost, labels0, idx, knn_mask, w, 1)
+    labels8, e8 = icm_sweeps(dcost, labels0, idx, knn_mask, w, 8)
+    assert float(e1) <= float(e0) + 1e-5
+    assert float(e8) <= float(e1) + 1e-5
+
+
+def test_icm_w0_is_data_argmin():
+    r2, active, mask, idx, knn_mask = _random_problem(2)
+    dcost = data_costs(r2, active, mask, 0.0, 4.0)
+    labels0 = jnp.full((r2.shape[1],), r2.shape[0], jnp.int32)
+    labels, _ = icm_sweeps(dcost, labels0, idx, knn_mask, 0.0, 1)
+    want = np.argmin(np.asarray(dcost), axis=1)
+    np.testing.assert_array_equal(np.asarray(labels), want)
+
+
+def test_inactive_slots_never_selected():
+    r2, _, mask, idx, knn_mask = _random_problem(3)
+    active = jnp.array([True, False, True])
+    dcost = data_costs(r2, active, mask, 0.0, 4.0)
+    labels0 = jnp.full((r2.shape[1],), 3, jnp.int32)
+    labels, _ = icm_sweeps(dcost, labels0, idx, knn_mask, 0.0, 4)
+    assert not np.any(np.asarray(labels) == 1)
