@@ -106,11 +106,26 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
     valid_f = (valid_h & samp_ok[:, None]).reshape(bs)
 
     r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs_f)
-    scores, _, _ = compound_penalized_scores(
+    scores, inliers, pref = compound_penalized_scores(
         r2, compound_pref, pmask, trunc_sq, params.scoring_exponent, has_compound
     )
     scores = jnp.where(valid_f & jnp.isfinite(scores), scores, _NEG)
-    best = jnp.argmax(scores)
+
+    # Batched-validation advantage over the sequential reference: the
+    # reference proposes ONE model per round and, if it fails the Tanimoto /
+    # min-inlier test, the whole round is wasted (progressive_x.h:334-346).
+    # We have every hypothesis's preference row already, so pick the best
+    # hypothesis that PASSES validation; fall back to the raw argmax (which
+    # the round-level validation will then reject) only when none passes.
+    min_needed = jnp.maximum(jnp.int32(family.sample_size), params.min_inliers)
+    dots = pref @ compound_pref
+    norms = jnp.sum(pref * pref, axis=-1)
+    cn = jnp.sum(compound_pref * compound_pref)
+    tan = jnp.where(norms + cn - dots > 1e-12, dots / (norms + cn - dots), 0.0)
+    admissible = (inliers >= min_needed) & (tan <= params.max_tanimoto)
+    scores_adm = jnp.where(admissible, scores, _NEG)
+    any_adm = jnp.max(scores_adm) > _NEG / 2
+    best = jnp.where(any_adm, jnp.argmax(scores_adm), jnp.argmax(scores))
     desc, score = descs_f[best], scores[best]
     if cfg.hyp_axis is not None:
         # Reduce the per-device winners to one global winner (tiny
@@ -134,8 +149,16 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
         r2d, _ = rescore(d)
         w_lo = truncated_preference(r2d, trunc_sq) * pweights * pmask
         nd, ok = family.nonminimal_solver(data, w_lo)
-        _, s_new = rescore(nd)
-        better = ok & jnp.isfinite(s_new) & (s_new > s)
+        r2n, s_new = rescore(nd)
+        # Keep the refit only if it improves the penalized score AND stays
+        # within the Tanimoto acceptance region (an LO step that drifts
+        # into overlap with the compound model would waste the round).
+        pref_n = truncated_preference(r2n, trunc_sq) * pmask
+        tan_n = tanimoto_similarity(pref_n, compound_pref)
+        better = (
+            ok & jnp.isfinite(s_new) & (s_new > s)
+            & (tan_n <= params.max_tanimoto)
+        )
         return (
             jnp.where(better, nd, d),
             jnp.where(better, s_new, s),

@@ -69,8 +69,15 @@ def pearl_run(
         # --- 1. labeling ---
         r2 = residual_matrix(descs)  # [K, N]
         dcost = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
+        # Initialize from the per-point data argmin rather than the previous
+        # labeling: parallel ICM cannot flip a whole cluster over the Potts
+        # barrier the way an expansion move (global min-cut) can, so a warm
+        # start would freeze newly added instances out of the labeling.
+        # The argmin start hands each instance its data-supported points and
+        # the sweeps then enforce spatial coherence at the boundaries.
+        init = jnp.argmin(dcost, axis=1).astype(jnp.int32)
         labels, energy = labeling_ops.icm_sweeps(
-            dcost, labels, knn_idx, knn_mask, w, cfg.icm_sweeps
+            dcost, init, knn_idx, knn_mask, w, cfg.icm_sweeps
         )
 
         # --- 2. per-instance refit (vmapped over slots) ---
@@ -93,9 +100,55 @@ def pearl_run(
         )
         descs = jnp.where(accept[:, None], new_descs, descs)
 
-        # --- 3. weak-instance rejection ---
-        active = active & (counts >= params.min_inliers)
-        labels = sanitize(labels, active)
+        # --- 3. label-cost elimination + weak-instance rejection ---
+        # GCO charges `minimum_inlier_number` per label in use
+        # (PEARL.h:144,:528-529); expansion therefore absorbs any instance
+        # whose total energy advantage over the points' best alternative
+        # label is below that cost — this is what kills phantom instances
+        # and merges split ones. Vectorized equivalent: per active label,
+        # gain = sum over its points of (best-alternative data cost - own
+        # data cost); drop the weakest label if gain < label cost. One
+        # deletion per PEARL iteration (like sequential expansion), points
+        # are re-assigned by data argmin over the survivors.
+        dcost2 = labeling_ops.data_costs(
+            residual_matrix(descs), active, point_mask, w, trunc_sq
+        )
+        chosen = jnp.take_along_axis(dcost2, labels[:, None], axis=1)[:, 0]
+        excl = dcost2.at[jnp.arange(dcost2.shape[0]), labels].set(1e18)
+        alt = jnp.min(excl, axis=1)
+        point_gain = jnp.where(point_mask, alt - chosen, 0.0)
+        # Keeping a label also pays the Potts cost of its boundary: a
+        # scattered phantom instance has mismatching neighbors everywhere
+        # (large cut), a compact real structure only at its perimeter.
+        # Deleting the label recovers ~2*w*cut (both edge directions).
+        nb_labels = labels[knn_idx]
+        mismatch = jnp.sum(
+            (nb_labels != labels[:, None]) & knn_mask, axis=1
+        ).astype(point_gain.dtype)
+        point_gain = point_gain - 2.0 * w * jnp.where(point_mask, mismatch, 0.0)
+        onehot2 = labels[:, None] == jnp.arange(k_slots)[None, :]
+        gains = jnp.sum(jnp.where(onehot2, point_gain[:, None], 0.0), axis=0)
+        gains = jnp.where(active, gains, jnp.inf)
+        weakest = jnp.argmin(gains)
+        label_cost = params.min_inliers.astype(gains.dtype)
+        do_delete = gains[weakest] < label_cost
+        active = active & ~(do_delete & (jnp.arange(k_slots) == weakest))
+
+        counts2 = jnp.sum(
+            ((labels[:, None] == jnp.arange(k_slots)[None, :]) & point_mask[:, None]),
+            axis=0,
+        )
+        active = active & (counts2 >= params.min_inliers)
+
+        # Re-assign points of removed instances by data argmin.
+        dcost3 = labeling_ops.data_costs(
+            residual_matrix(descs), active, point_mask, w, trunc_sq
+        )
+        labels = jnp.where(
+            jnp.concatenate([active, jnp.array([True])])[labels],
+            labels,
+            jnp.argmin(dcost3, axis=1).astype(labels.dtype),
+        )
 
         return (descs, active, labels), energy
 
