@@ -82,12 +82,15 @@ def main():
     compile_s = time.perf_counter() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
-    # Steady state.
+    # Steady state. Vary the key each run (defeats any executable-level
+    # result caching) and fetch a value to the host so the timing covers
+    # actual execution, not just async dispatch.
     times = []
-    for _ in range(3):
+    for i in range(3):
+        k = jax.random.split(jax.random.PRNGKey(i + 1), n_scenes)
         t0 = time.perf_counter()
-        res = run(data, mask, wts, keys, nv)
-        jax.block_until_ready(res)
+        res = run(data, mask, wts, k, nv)
+        np.asarray(res.n_models)  # host fetch = hard execution barrier
         times.append(time.perf_counter() - t0)
     dt = min(times)
     scenes_per_s = n_scenes / dt

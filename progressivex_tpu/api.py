@@ -31,6 +31,7 @@ given a seed; the reference uses an unseeded std RNG.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import time
 
@@ -46,6 +47,20 @@ from progressivex_tpu.models import get_family
 _PAD = 128  # pad point counts to a lane-width multiple
 _MAX_HYP = 2048
 _UNLIMITED = 10**9
+
+
+@dataclasses.dataclass
+class Statistics:
+    """Run statistics — the counterpart of the reference's
+    MultiModelStatistics (`progressive_x.h:84-104`). Pass
+    `with_statistics=True` to any find* function to receive one."""
+
+    processing_time: float
+    rounds_run: int
+    ransac_iterations: int
+    model_number: int
+    labeling: "np.ndarray"
+    inliers_of_each_model: list
 
 
 def _pad_to(n: int) -> int:
@@ -85,6 +100,7 @@ def _run(
     do_logging=False,
     random_seed=0,
     graph_data=None,
+    with_statistics=False,
 ):
     t0 = time.perf_counter()
     data = np.ascontiguousarray(data, np.float32)
@@ -128,14 +144,28 @@ def _run(
     descs, labels = engine.compact_result(
         jax.tree.map(np.asarray, result), n
     )
+    processing_time = time.perf_counter() - t0
     if do_logging:
         print(
             f"[progressivex_tpu] {family_name}: {descs.shape[0]} instances, "
             f"{int(result.rounds_run)} rounds, "
             f"{int(result.total_iters)} samples, "
-            f"{time.perf_counter() - t0:.3f}s"
+            f"{processing_time:.3f}s"
         )
-    return descs, labels
+    stats = None
+    if with_statistics:
+        k = descs.shape[0]
+        stats = Statistics(
+            processing_time=processing_time,
+            rounds_run=int(result.rounds_run),
+            ransac_iterations=int(result.total_iters),
+            model_number=k,
+            labeling=labels,
+            inliers_of_each_model=[
+                np.flatnonzero(labels == i) for i in range(k)
+            ],
+        )
+    return descs, labels, stats
 
 
 def _stack_desc(descs, shape):
@@ -161,13 +191,14 @@ def findLines(
     scoring_exponent=2,
     do_logging=False,
     random_seed=0,
+    with_statistics=False,
 ):
     """Multi 2D-line fitting. points: [N,2]. Returns ([K,3] (a,b,c), labeling)."""
     points = np.asarray(points, np.float64)
     if points.ndim != 2 or points.shape[1] != 2 or points.shape[0] < 2:
         raise ValueError("points should be an array with dims [n,2], n>=2")
     sid = {0: 0, 1: 1, 2: 3, 3: 3}.get(int(sampler_id), 0)
-    descs, labels = _run(
+    descs, labels, stats = _run(
         "line2d", points, weights,
         threshold=threshold, conf=conf,
         spatial_coherence_weight=spatial_coherence_weight,
@@ -176,9 +207,10 @@ def findLines(
         max_iters=max_iters, minimum_point_number=minimum_point_number,
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
-        random_seed=random_seed,
+        random_seed=random_seed, with_statistics=with_statistics,
     )
-    return descs.astype(np.float64), labels
+    out = descs.astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)
 
 
 def findVanishingPoints(
@@ -198,6 +230,7 @@ def findVanishingPoints(
     scoring_exponent=2,
     do_logging=False,
     random_seed=0,
+    with_statistics=False,
 ):
     """Multi vanishing-point fitting. lines: [N,4] segments [xs,ys,xe,ye].
     Returns ([K,3] unit homogeneous VPs, labeling)."""
@@ -205,7 +238,7 @@ def findVanishingPoints(
     if lines.ndim != 2 or lines.shape[1] != 4 or lines.shape[0] < 2:
         raise ValueError("lines should be an array with dims [n,4], n>=2")
     sid = int(sampler_id) if int(sampler_id) in (0, 1) else 0
-    descs, labels = _run(
+    descs, labels, stats = _run(
         "vanishing_point", lines, weights,
         threshold=threshold, conf=conf,
         spatial_coherence_weight=spatial_coherence_weight,
@@ -214,9 +247,10 @@ def findVanishingPoints(
         max_iters=max_iters, minimum_point_number=minimum_point_number,
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
-        random_seed=random_seed,
+        random_seed=random_seed, with_statistics=with_statistics,
     )
-    return descs.astype(np.float64), labels
+    out = descs.astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)
 
 
 def findHomographies(
@@ -237,13 +271,14 @@ def findHomographies(
     scoring_exponent=2,
     do_logging=False,
     random_seed=0,
+    with_statistics=False,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
     Returns ([3K,3] stacked row-major 3x3s, labeling)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
         raise ValueError("corrs should be an array with dims [n,4], n>=4")
-    descs, labels = _run(
+    descs, labels, stats = _run(
         "homography", corrs, None,
         threshold=threshold, conf=conf,
         spatial_coherence_weight=spatial_coherence_weight,
@@ -252,9 +287,10 @@ def findHomographies(
         max_iters=max_iters, minimum_point_number=minimum_point_number,
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
-        random_seed=random_seed,
+        random_seed=random_seed, with_statistics=with_statistics,
     )
-    return descs.reshape(-1, 3).astype(np.float64), labels
+    out = descs.reshape(-1, 3).astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)
 
 
 def findTwoViewMotions(
@@ -275,13 +311,14 @@ def findTwoViewMotions(
     scoring_exponent=3,
     do_logging=False,
     random_seed=0,
+    with_statistics=False,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
     Returns ([3K,3] stacked row-major 3x3 F matrices, labeling)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
-    descs, labels = _run(
+    descs, labels, stats = _run(
         "fundamental", corrs, None,
         threshold=threshold, conf=conf,
         spatial_coherence_weight=spatial_coherence_weight,
@@ -290,9 +327,10 @@ def findTwoViewMotions(
         max_iters=max_iters, minimum_point_number=minimum_point_number,
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
-        random_seed=random_seed,
+        random_seed=random_seed, with_statistics=with_statistics,
     )
-    return descs.reshape(-1, 3).astype(np.float64), labels
+    out = descs.reshape(-1, 3).astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)
 
 
 def find6DPoses(
@@ -309,6 +347,7 @@ def find6DPoses(
     maximum_model_number=-1,
     do_logging=False,
     random_seed=0,
+    with_statistics=False,
 ):
     """Multi 6D-pose fitting from 2D-3D correspondences.
     x1y1: [N,2] pixel coords, x2y2z2: [N,3] world points, K: [3,3].
@@ -334,7 +373,7 @@ def find6DPoses(
     graph_data = np.concatenate([x1y1, x2y2z2], axis=1)
     f = 0.5 * (K[0, 0] + K[1, 1])
 
-    descs, labels = _run(
+    descs, labels, stats = _run(
         "pnp", data, None,
         threshold=threshold / f, conf=conf,
         spatial_coherence_weight=spatial_coherence_weight,
@@ -343,6 +382,7 @@ def find6DPoses(
         max_iters=max_iters, minimum_point_number=minimum_point_number,
         maximum_model_number=maximum_model_number, sampler_id=0,
         scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
-        graph_data=graph_data,
+        graph_data=graph_data, with_statistics=with_statistics,
     )
-    return descs.reshape(-1, 4).astype(np.float64), labels
+    out = descs.reshape(-1, 4).astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)

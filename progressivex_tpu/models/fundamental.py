@@ -23,7 +23,8 @@ from progressivex_tpu.models.base import ModelFamily, register_family
 from progressivex_tpu.ops.linalg import (
     cubic_roots_real,
     hartley_normalize,
-    smallest_eigvec_sym,
+    nullspace_exact,
+    smallest_eigvec_psd,
 )
 
 _EPS = 1e-12
@@ -53,10 +54,11 @@ def _minimal(samples):
     n1, T1 = hartley_normalize(samples[:, :2], w)
     n2, T2 = hartley_normalize(samples[:, 2:4], w)
     A = _epipolar_rows(n1, n2, w)
-    # Null-space basis by SVD of A directly (not A^T A) for f32 accuracy.
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F1 = Vt[-1].reshape(3, 3)
-    F2 = Vt[-2].reshape(3, 3)
+    # Exact 2-D null space of the 7x9 system by unrolled Gauss-Jordan
+    # (TPU-fast replacement for batched SVD; residual-validated).
+    basis, ns_valid = nullspace_exact(A, 2)
+    F1 = basis[0].reshape(3, 3)
+    F2 = basis[1].reshape(3, 3)
 
     # det(l*F1 + (1-l)*F2) is cubic in l; fit coefficients from 4 evaluations
     # (closed-form and batch-friendly, avoids expanding 3x3 determinants).
@@ -81,7 +83,7 @@ def _minimal(samples):
         return _denormalize(Fn, T1, T2).reshape(9)
 
     descs = jnp.stack([build(roots[i]) for i in range(3)])
-    valid = valid & jnp.isfinite(descs).all(axis=-1)
+    valid = valid & ns_valid & jnp.isfinite(descs).all(axis=-1)
     return descs, valid
 
 
@@ -92,7 +94,7 @@ def _nonminimal(data, weights):
     n2, T2 = hartley_normalize(data[:, 2:4], weights)
     A = _epipolar_rows(n1, n2, sw)
     M = A.T @ A
-    f = smallest_eigvec_sym(M)
+    f = smallest_eigvec_psd(M)
     Fn = f.reshape(3, 3)
     # Enforce rank 2: zero out the smallest singular value.
     U, S, Vt = jnp.linalg.svd(Fn)

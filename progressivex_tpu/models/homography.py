@@ -14,7 +14,11 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from progressivex_tpu.models.base import ModelFamily, register_family
-from progressivex_tpu.ops.linalg import hartley_normalize, smallest_eigvec_sym
+from progressivex_tpu.ops.linalg import (
+    hartley_normalize,
+    nullspace_exact,
+    smallest_eigvec_psd,
+)
 
 _EPS = 1e-12
 
@@ -44,12 +48,17 @@ def _solve_h(p1, p2, weights, use_svd: bool = False):
     n1, T1 = hartley_normalize(p1, weights)
     n2, T2 = hartley_normalize(p2, weights)
     A = _dlt_rows(n1, n2, weights)
+    ns_valid = True
     if use_svd:
-        _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-        h = Vt[-1]
+        # Minimal 4-point case: the 8x9 system has an exact 1-D null space;
+        # unrolled Gauss-Jordan extraction is orders of magnitude faster on
+        # TPU than batched SVD and equally accurate (validated by the
+        # residual check inside nullspace_exact).
+        basis, ns_valid = nullspace_exact(A, 1)
+        h = basis[0]
     else:
-        M = A.T @ A  # 9x9 normal matrix; smallest eigenvector = null space
-        h = smallest_eigvec_sym(M)
+        M = A.T @ A  # 9x9 normal matrix; smallest eigenvector = LSQ solution
+        h = smallest_eigvec_psd(M)
     Hn = h.reshape(3, 3)
     # Denormalize: x2 = T2^-1 Hn T1 x1.
     T2inv = jnp.linalg.inv(T2)
@@ -59,7 +68,7 @@ def _solve_h(p1, p2, weights, use_svd: bool = False):
     # Normalize by H[2,2] when well-conditioned, else by the largest entry.
     denom = jnp.where(jnp.abs(scale) > 1e-8 * big, scale, jnp.where(big > _EPS, big, 1.0))
     H = H / denom
-    valid = jnp.isfinite(H).all() & (jnp.abs(jnp.linalg.det(H)) > 1e-10)
+    valid = ns_valid & jnp.isfinite(H).all() & (jnp.abs(jnp.linalg.det(H)) > 1e-10)
     return H, valid
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from progressivex_tpu.models.base import ModelFamily, register_family
-from progressivex_tpu.ops.linalg import kabsch, quartic_roots_real, smallest_eigvec_sym
+from progressivex_tpu.ops.linalg import kabsch, quartic_roots_real, smallest_eigvec_psd
 
 _EPS = 1e-12
 
@@ -137,7 +137,7 @@ def _nonminimal(data, weights):
     r1 = jnp.stack([z, z, z, z, X, Y, Z, o, -y * X, -y * Y, -y * Z, -y], axis=-1) * sw
     A = jnp.concatenate([r0, r1], axis=0)
     M = A.T @ A
-    p = smallest_eigvec_sym(M)
+    p = smallest_eigvec_psd(M)
     Pm = p.reshape(3, 4)
 
     # Undo whitening: Pw = Pm @ [[I/s, -mu/s], [0, 1]] scaled by s -> fold in.

@@ -17,7 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from progressivex_tpu.models.base import ModelFamily, register_family
-from progressivex_tpu.ops.linalg import normalize_vec, smallest_eigvec_sym
+from progressivex_tpu.ops.linalg import normalize_vec, smallest_eigvec_psd
 
 _EPS = 1e-12
 
@@ -54,7 +54,7 @@ def _nonminimal(data, weights):
     """Weighted homogeneous LSQ over all segments. data: [N, 4]."""
     A = _constraint_rows(data) * weights[:, None]
     M = A.T @ A  # 3x3
-    v = smallest_eigvec_sym(M)
+    v = smallest_eigvec_psd(M)
     v = normalize_vec(v)
     valid = jnp.isfinite(v).all() & (jnp.sum(weights > 0) >= 2)
     return v, valid

@@ -240,6 +240,86 @@ def quartic_roots_real(coeffs: jax.Array):
     return roots, valid
 
 
+def gauss_jordan_solve(M: jax.Array, B: jax.Array):
+    """Solve M X = B for tiny static n by unrolled Gauss-Jordan with
+    partial pivoting.
+
+    XLA lowers small batched LU/SVD/eigh to serial iterative loops that run
+    poorly on TPU; this unrolled elimination is straight-line VPU
+    arithmetic (n steps of rank-1 updates) and vmaps cleanly over
+    thousands of systems.
+
+    Args:
+      M: [n, n]; B: [n, r].
+    Returns:
+      X [n, r] (garbage if M is singular — callers must validate).
+    """
+    n = M.shape[0]
+    A = jnp.concatenate([M, B], axis=1)
+    rows = jnp.arange(n)
+    for i in range(n):
+        col = jnp.abs(A[:, i])
+        col = jnp.where(rows >= i, col, -1.0)
+        p = jnp.argmax(col)
+        # Swap rows i and p.
+        row_i = A[i]
+        row_p = A[p]
+        A = A.at[i].set(row_p)
+        A = A.at[p].set(row_i)
+        # Normalize the pivot row.
+        piv = A[i, i]
+        piv = jnp.where(jnp.abs(piv) > _EPS, piv, _EPS)
+        A = A.at[i].set(A[i] / piv)
+        # Eliminate the column everywhere else (Gauss-Jordan).
+        factors = A[:, i].at[i].set(0.0)
+        A = A - factors[:, None] * A[i][None, :]
+    return A[:, n:]
+
+
+def nullspace_exact(A: jax.Array, n_free: int):
+    """Null-space basis of an [m, m + n_free] exact minimal system.
+
+    Fixes the last n_free columns as free variables and solves the square
+    [m, m] system for the rest — the TPU-fast replacement for SVD null
+    spaces in minimal solvers. Returns (basis [n_free, m + n_free],
+    valid scalar bool). Valid is False when the chosen free columns are
+    degenerate (callers fall back to rejecting the hypothesis — RANSAC
+    tolerates dropped samples).
+    """
+    m = A.shape[0]
+    M = A[:, :m]
+    B = -A[:, m:]
+    X = gauss_jordan_solve(M, B)  # [m, n_free]
+    eye = jnp.eye(n_free, dtype=A.dtype)
+    basis = jnp.concatenate([X.T, eye], axis=1)  # [n_free, m + n_free]
+    basis = normalize_vec(basis)
+    # Validate: basis rows must actually annihilate A.
+    resid = jnp.max(jnp.abs(basis @ A.T))
+    scale = jnp.maximum(jnp.max(jnp.abs(A)), 1.0)
+    valid = jnp.isfinite(basis).all() & (resid < 1e-3 * scale)
+    return basis, valid
+
+
+def smallest_eigvec_psd(M: jax.Array, iters: int = 6) -> jax.Array:
+    """Eigenvector of the smallest eigenvalue of a tiny symmetric PSD
+    matrix by shifted inverse iteration with the unrolled GJ solver —
+    the TPU-fast replacement for jnp.linalg.eigh in non-minimal refits
+    (normal matrices A^T A whose smallest eigenvector is the LSQ
+    solution)."""
+    n = M.shape[0]
+    tr = jnp.trace(M) / n
+    shift = jnp.maximum(1e-6 * tr, 1e-12)
+    Ms = M + shift * jnp.eye(n, dtype=M.dtype)
+    # Deterministic non-symmetric start (breaks alignment with any
+    # coordinate axis).
+    v = jnp.arange(1, n + 1, dtype=M.dtype)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(iters):
+        v = gauss_jordan_solve(Ms, v[:, None])[:, 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v), _EPS)
+    return v
+
+
 def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array):
     """Weighted rigid alignment: find R, t with dst ~ R @ src + t.
 
