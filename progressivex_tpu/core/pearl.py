@@ -75,7 +75,7 @@ def pearl_run(
         # start would freeze newly added instances out of the labeling.
         # The argmin start hands each instance its data-supported points and
         # the sweeps then enforce spatial coherence at the boundaries.
-        init = jnp.argmin(dcost, axis=1).astype(jnp.int32)
+        init = jnp.argmin(dcost, axis=0).astype(jnp.int32)
         labels, energy = labeling_ops.icm_sweeps(
             dcost, init, knn_idx, knn_mask, w, cfg.icm_sweeps
         )
@@ -113,9 +113,10 @@ def pearl_run(
         dcost2 = labeling_ops.data_costs(
             residual_matrix(descs), active, point_mask, w, trunc_sq
         )
-        chosen = jnp.take_along_axis(dcost2, labels[:, None], axis=1)[:, 0]
-        excl = dcost2.at[jnp.arange(dcost2.shape[0]), labels].set(1e18)
-        alt = jnp.min(excl, axis=1)
+        n_pts = labels.shape[0]
+        chosen = jnp.take_along_axis(dcost2, labels[None, :], axis=0)[0]
+        excl = dcost2.at[labels, jnp.arange(n_pts)].set(1e18)
+        alt = jnp.min(excl, axis=0)
         point_gain = jnp.where(point_mask, alt - chosen, 0.0)
         # Keeping a label also pays the Potts cost of its boundary: a
         # scattered phantom instance has mismatching neighbors everywhere
@@ -147,7 +148,7 @@ def pearl_run(
         labels = jnp.where(
             jnp.concatenate([active, jnp.array([True])])[labels],
             labels,
-            jnp.argmin(dcost3, axis=1).astype(labels.dtype),
+            jnp.argmin(dcost3, axis=0).astype(labels.dtype),
         )
 
         return (descs, active, labels), energy

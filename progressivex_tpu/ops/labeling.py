@@ -13,22 +13,25 @@ with data costs from `PEARL.h:82-128`:
 
 Alpha-expansion performs serial graph cuts; on TPU we instead run
 checkerboard ICM: every sweep computes, for ALL points and ALL labels, the
-local cost (data + Potts against the current neighbor labels) as one dense
-[N, L] tensor and moves half of the points (even, then odd index parity) to
-their argmin label. Two half-sweeps touch every point once and avoid the
-synchronous-Jacobi oscillation. Each sweep monotonically decreases the
-energy restricted to the moved half; the PEARL alternation supplies the
-convergence pressure the reference gets from expansion moves.
+local cost (data + Potts against the current neighbor labels) and moves
+half of the points (even, then odd index parity) to their argmin label.
+Two half-sweeps touch every point once and avoid synchronous-Jacobi
+oscillation; each half-sweep monotonically decreases the energy restricted
+to the moved half.
+
+Layout note: every [label, point] tensor is [L, N] with points on the
+128-lane axis — L is tiny (max_models + 1 ≈ 11) and would waste >90% of
+each vector register if it sat in lanes. The Potts neighbor count is a
+static unrolled loop over L of [N, k] compares, all lane-parallel over N.
 
 Label-cost handling differs by design: GCO charges `minimum_inlier_number`
-per label in use (`PEARL.h:528-529`); here weak instances are removed by the
-explicit rejection step in PEARL (`PEARL.h:275-315` analog), which has the
-same fixed point (no instance with < min inliers survives).
+per label in use (`PEARL.h:528-529`); here weak instances are removed by
+the explicit label-cost elimination + rejection steps in PEARL
+(core/pearl.py), which has the same fixed point.
 """
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -36,7 +39,7 @@ _INF = 1e18
 
 
 def data_costs(sq_residuals, active, point_mask, spatial_weight, trunc_sq):
-    """Per-(point, label) data cost tensor, label L = K is the outlier class.
+    """Per-(label, point) data cost tensor [L, N]; label L-1 = outlier.
 
     Args:
       sq_residuals: [K, N] squared residuals of every slot's model.
@@ -45,47 +48,54 @@ def data_costs(sq_residuals, active, point_mask, spatial_weight, trunc_sq):
       spatial_weight: scalar w.
       trunc_sq: scalar truncated squared threshold.
 
-    Returns:
-      [N, K+1] costs; padded points get 0 for the outlier and INF elsewhere,
-      so they pin to the outlier label and never influence real costs.
+    Padded points get 0 for the outlier label and INF elsewhere, so they
+    pin to the outlier class and never influence real costs.
     """
     one_minus_w = 1.0 - spatial_weight
     ratio = sq_residuals / trunc_sq  # [K, N]
     model_cost = jnp.where(ratio > 1.0, 2.0 * one_minus_w, one_minus_w * ratio)
-    model_cost = jnp.where(active[:, None], model_cost, _INF).T  # [N, K]
+    model_cost = jnp.where(active[:, None], model_cost, _INF)  # [K, N]
     n = sq_residuals.shape[1]
-    outlier = jnp.full((n, 1), one_minus_w, model_cost.dtype)
-    costs = jnp.concatenate([model_cost, outlier], axis=1)  # [N, K+1]
-    pad_row = jnp.concatenate(
-        [jnp.full((n, model_cost.shape[1]), _INF), jnp.zeros((n, 1))], axis=1
+    outlier = jnp.full((1, n), one_minus_w, model_cost.dtype)
+    costs = jnp.concatenate([model_cost, outlier], axis=0)  # [L, N]
+    pad_col = jnp.concatenate(
+        [jnp.full((model_cost.shape[0], n), _INF), jnp.zeros((1, n))], axis=0
     )
-    return jnp.where(point_mask[:, None], costs, pad_row)
+    return jnp.where(point_mask[None, :], costs, pad_col)
+
+
+def _neighbor_same_counts(labels, knn_idx, knn_mask, num_labels: int):
+    """[L, N]: for each label l and point n, how many of n's valid
+    neighbors currently carry label l. Static unrolled loop over the tiny
+    L axis keeps every op [N, k]-shaped (points on lanes)."""
+    nb_labels = labels[knn_idx]  # [N, k]
+    rows = []
+    for l in range(num_labels):
+        rows.append(jnp.sum((nb_labels == l) & knn_mask, axis=1))
+    return jnp.stack(rows).astype(jnp.float32)  # [L, N]
 
 
 def _local_costs(dcost, labels, knn_idx, knn_mask, spatial_weight):
-    """dcost + Potts term against the current neighbor labels. [N, L]."""
-    n, num_labels = dcost.shape
-    nb_labels = labels[knn_idx]  # [N, k]
-    nb_onehot = jax.nn.one_hot(nb_labels, num_labels, dtype=dcost.dtype)
-    nb_onehot = nb_onehot * knn_mask[..., None]
-    same = jnp.sum(nb_onehot, axis=1)  # [N, L] neighbors sharing each label
-    deg = jnp.sum(knn_mask, axis=1, dtype=dcost.dtype)  # [N]
-    potts = spatial_weight * (deg[:, None] - same)
+    """dcost + Potts term against the current neighbor labels. [L, N]."""
+    num_labels = dcost.shape[0]
+    same = _neighbor_same_counts(labels, knn_idx, knn_mask, num_labels)
+    deg = jnp.sum(knn_mask, axis=1).astype(dcost.dtype)  # [N]
+    potts = spatial_weight * (deg[None, :] - same)
     return dcost + potts
 
 
 def icm_sweeps(dcost, labels, knn_idx, knn_mask, spatial_weight, n_sweeps: int):
     """Run n_sweeps checkerboard ICM sweeps; returns (labels, energy).
 
-    When spatial_weight == 0 this reduces to a single argmin over the data
-    costs (exactly the reference behavior of a Potts-free alpha-expansion).
+    When spatial_weight == 0 this reduces to the argmin over data costs
+    (exactly the reference behavior of a Potts-free labeling).
     """
-    n = dcost.shape[0]
+    n = dcost.shape[1]
     parity = (jnp.arange(n) % 2).astype(bool)
 
     def half_sweep(labels, move_mask):
         costs = _local_costs(dcost, labels, knn_idx, knn_mask, spatial_weight)
-        best = jnp.argmin(costs, axis=1).astype(labels.dtype)
+        best = jnp.argmin(costs, axis=0).astype(labels.dtype)
         return jnp.where(move_mask, best, labels)
 
     def sweep(labels, _):
@@ -93,8 +103,6 @@ def icm_sweeps(dcost, labels, knn_idx, knn_mask, spatial_weight, n_sweeps: int):
         labels = half_sweep(labels, ~parity)
         return labels, None
 
-    # Pure data-term argmin start keeps w=0 exact in one shot; with w>0 the
-    # warm-start labels seed the Potts term of the first half-sweep.
     labels, _ = lax.scan(sweep, labels, None, length=n_sweeps)
     energy = labeling_energy(dcost, labels, knn_idx, knn_mask, spatial_weight)
     return labels, energy
@@ -102,8 +110,7 @@ def icm_sweeps(dcost, labels, knn_idx, knn_mask, spatial_weight, n_sweeps: int):
 
 def labeling_energy(dcost, labels, knn_idx, knn_mask, spatial_weight):
     """Total energy of a labeling (for convergence tests and logging)."""
-    n = dcost.shape[0]
-    data = jnp.sum(jnp.take_along_axis(dcost, labels[:, None], axis=1))
+    data = jnp.sum(jnp.take_along_axis(dcost, labels[None, :], axis=0))
     nb_labels = labels[knn_idx]
     diff = (nb_labels != labels[:, None]) & knn_mask
     # Directed-edge count, matching the reference's double-registration of

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-12
+_BIG = 1e18
 
 
 def cross3(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -256,24 +257,25 @@ def gauss_jordan_solve(M: jax.Array, B: jax.Array):
     """
     n = M.shape[0]
     A = jnp.concatenate([M, B], axis=1)
-    rows = jnp.arange(n)
+    # Scatter-free implicit pivoting: dynamic-index row swaps would lower
+    # to scatters (slow under vmap on TPU); instead the pivot row is
+    # selected with a one-hot matvec and all updates are rank-1/elementwise.
+    used = jnp.zeros((n,), A.dtype)
+    P = jnp.zeros((n, n), A.dtype)  # P[i] = one-hot of step i's pivot row
     for i in range(n):
-        col = jnp.abs(A[:, i])
-        col = jnp.where(rows >= i, col, -1.0)
-        p = jnp.argmax(col)
-        # Swap rows i and p.
-        row_i = A[i]
-        row_p = A[p]
-        A = A.at[i].set(row_p)
-        A = A.at[p].set(row_i)
-        # Normalize the pivot row.
-        piv = A[i, i]
+        col = jnp.abs(A[:, i]) - used * _BIG
+        p_onehot = jax.nn.one_hot(jnp.argmax(col), n, dtype=A.dtype)
+        pivot_row = p_onehot @ A
+        piv = pivot_row[i]
         piv = jnp.where(jnp.abs(piv) > _EPS, piv, _EPS)
-        A = A.at[i].set(A[i] / piv)
-        # Eliminate the column everywhere else (Gauss-Jordan).
-        factors = A[:, i].at[i].set(0.0)
-        A = A - factors[:, None] * A[i][None, :]
-    return A[:, n:]
+        pivot_row = pivot_row / piv
+        factors = A[:, i] * (1.0 - p_onehot)
+        A = A - factors[:, None] * pivot_row[None, :]
+        # Replace the pivot row with its normalized form.
+        A = A * (1.0 - p_onehot)[:, None] + p_onehot[:, None] * pivot_row[None, :]
+        P = P.at[i].set(p_onehot)  # static index: no scatter
+        used = used + p_onehot
+    return (P @ A)[:, n:]
 
 
 def nullspace_exact(A: jax.Array, n_free: int):

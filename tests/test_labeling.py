@@ -23,23 +23,23 @@ def test_data_costs_reference_values():
     r2 = jnp.array([[0.0, 2.0, 4.1, 100.0]])
     active = jnp.array([True])
     mask = jnp.array([True, True, True, True])
-    c = np.asarray(data_costs(r2, active, mask, w, trunc))
+    c = np.asarray(data_costs(r2, active, mask, w, trunc))  # [L, N]
     one_minus_w = 0.7
     # model label: (1-w)*r2/trunc below threshold, 2(1-w) above
     np.testing.assert_allclose(
-        c[:, 0], [0.0, one_minus_w * 0.5, 2 * one_minus_w, 2 * one_minus_w],
+        c[0], [0.0, one_minus_w * 0.5, 2 * one_minus_w, 2 * one_minus_w],
         rtol=1e-6,
     )
     # outlier label: (1-w)
-    np.testing.assert_allclose(c[:, 1], one_minus_w)
+    np.testing.assert_allclose(c[1], one_minus_w)
 
 
 def test_data_costs_padding_pins_outlier():
     r2 = jnp.zeros((2, 3))
     active = jnp.array([True, True])
     mask = jnp.array([True, False, True])
-    c = np.asarray(data_costs(r2, active, mask, 0.2, 4.0))
-    assert c[1, 2] == 0.0 and c[1, 0] > 1e17  # padded row -> outlier only
+    c = np.asarray(data_costs(r2, active, mask, 0.2, 4.0))  # [L, N]
+    assert c[2, 1] == 0.0 and c[0, 1] > 1e17  # padded point -> outlier only
 
 
 def test_icm_monotone_energy():
@@ -59,7 +59,7 @@ def test_icm_w0_is_data_argmin():
     dcost = data_costs(r2, active, mask, 0.0, 4.0)
     labels0 = jnp.full((r2.shape[1],), r2.shape[0], jnp.int32)
     labels, _ = icm_sweeps(dcost, labels0, idx, knn_mask, 0.0, 1)
-    want = np.argmin(np.asarray(dcost), axis=1)
+    want = np.argmin(np.asarray(dcost), axis=0)
     np.testing.assert_array_equal(np.asarray(labels), want)
 
 
