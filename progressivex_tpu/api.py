@@ -168,12 +168,6 @@ def _run(
     return descs, labels, stats
 
 
-def _stack_desc(descs, shape):
-    if descs.shape[0] == 0:
-        return np.zeros((0, shape[1]), np.float64)
-    return descs.reshape(-1, *shape).reshape(-1, shape[1]).astype(np.float64)
-
-
 def findLines(
     points,
     weights=None,

@@ -148,7 +148,7 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
         d, s = carry
         r2d, _ = rescore(d)
         w_lo = truncated_preference(r2d, trunc_sq) * pweights * pmask
-        nd, ok = family.nonminimal_solver(data, w_lo)
+        nd, ok = family.refit(data, w_lo, d)
         r2n, s_new = rescore(nd)
         # Keep the refit only if it improves the penalized score AND stays
         # within the Tanimoto acceptance region (an LO step that drifts

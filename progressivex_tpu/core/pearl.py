@@ -86,8 +86,8 @@ def pearl_run(
         ]  # [N, K]
         counts = jnp.sum(onehot, axis=0)  # [K]
         fit_w = onehot.T.astype(data.dtype) * point_weights[None, :]  # [K, N]
-        new_descs, fit_ok = jax.vmap(family.nonminimal_solver, in_axes=(None, 0))(
-            data, fit_w
+        new_descs, fit_ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
+            data, fit_w, descs
         )
         res_before = jnp.sum(onehot.T * jnp.sqrt(r2), axis=1)
         r2_new = residual_matrix(new_descs)

@@ -34,12 +34,21 @@ def load_corr_scene(name: str, root: str = DEFAULT_ROOT):
 
 def load_tless_scene(root: str = DEFAULT_ROOT):
     """Load the T-LESS 6D-pose scene -> (xy [N,2], xyz [N,3], K [3,3],
-    poses [P,3,4])."""
+    poses [P,3,4]).
+
+    `tless.txt` and `tless_poses.txt` begin with a count-header line (the
+    reference loader reads the count first, `progx_utils.h:32-96`), so the
+    first row is skipped and checked against the parsed row count."""
     d = os.path.join(root, "tless")
-    pts = np.loadtxt(os.path.join(d, "tless.txt"))
+    with open(os.path.join(d, "tless.txt")) as f:
+        n = int(f.readline().split()[0])
+        pts = np.loadtxt(f)
+    assert pts.shape == (n, 5), f"tless.txt: expected {n}x5, got {pts.shape}"
     K = np.loadtxt(os.path.join(d, "tless_intrinsics.txt")).reshape(3, 3)
-    poses = np.loadtxt(os.path.join(d, "tless_poses.txt"))
-    poses = poses.reshape(-1, 3, 4)
+    with open(os.path.join(d, "tless_poses.txt")) as f:
+        p = int(f.readline().split()[0])
+        poses = np.loadtxt(f).reshape(-1, 3, 4)
+    assert poses.shape[0] == p, f"tless_poses.txt: expected {p} poses"
     return pts[:, :2], pts[:, 2:5], K, poses
 
 

@@ -15,6 +15,16 @@ the engine via `jax.vmap`:
   nonminimal_solver(data [N, data_dim], weights [N])
       -> (desc [desc_dim], valid bool)
   squared_residual(data [N, data_dim], desc [desc_dim]) -> [N]
+  refine_solver(data [N, data_dim], weights [N], init_desc [desc_dim])
+      -> (desc [desc_dim], valid bool)   [optional]
+
+`refine_solver` is a warm-started non-minimal fit (e.g. Gauss-Newton on the
+true geometric residual). When present, the engine's local-optimization and
+PEARL refit steps prefer it over the from-scratch `nonminimal_solver`: both
+call sites always hold a current descriptor, and for some geometries
+(notably PnP under weak perspective, where the algebraic DLT objective is
+nearly degenerate) minimizing the true reprojection error from a warm start
+is dramatically more accurate than any closed-form algebraic fit.
 
 Descriptors are flat f32/f64 vectors so the engine can store the compound
 model as one dense [K_max, desc_dim] array.
@@ -38,6 +48,14 @@ class ModelFamily:
     minimal_solver: Callable
     nonminimal_solver: Callable
     squared_residual: Callable
+    refine_solver: Callable | None = None
+
+    def refit(self, data, weights, init_desc):
+        """Warm-started non-minimal fit: refine_solver when the family has
+        one, else the stateless nonminimal_solver."""
+        if self.refine_solver is not None:
+            return self.refine_solver(data, weights, init_desc)
+        return self.nonminimal_solver(data, weights)
 
     def __hash__(self):  # usable as a static jit argument
         return hash(self.name)

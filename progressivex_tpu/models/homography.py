@@ -38,18 +38,20 @@ def _dlt_rows(p1, p2, w):
     return jnp.concatenate([r0 * sw, r1 * sw], axis=0)
 
 
-def _solve_h(p1, p2, weights, use_svd: bool = False):
+def _solve_h(p1, p2, weights, exact_nullspace: bool = False):
     """Normalized (weighted) DLT: returns (H [3,3], valid).
 
-    use_svd=True extracts the null space by SVD of A (f32-accurate, used for
-    the minimal 4-point case where A^T A squares the condition number);
-    the non-minimal refit uses the 9x9 normal matrix (N-independent cost).
+    exact_nullspace=True extracts the 1-D null space of A by unrolled
+    Gauss-Jordan elimination (ops/linalg.nullspace_exact — used for the
+    minimal 4-point case, where forming A^T A would square the condition
+    number); the non-minimal refit uses the 9x9 normal matrix, whose cost
+    is independent of N.
     """
     n1, T1 = hartley_normalize(p1, weights)
     n2, T2 = hartley_normalize(p2, weights)
     A = _dlt_rows(n1, n2, weights)
     ns_valid = True
-    if use_svd:
+    if exact_nullspace:
         # Minimal 4-point case: the 8x9 system has an exact 1-D null space;
         # unrolled Gauss-Jordan extraction is orders of magnitude faster on
         # TPU than batched SVD and equally accurate (validated by the
@@ -75,7 +77,7 @@ def _solve_h(p1, p2, weights, use_svd: bool = False):
 def _minimal(samples):
     """4-point DLT. samples: [4, 4] -> ([1, 9], [1] bool)."""
     w = jnp.ones((4,), samples.dtype)
-    H, valid = _solve_h(samples[:, :2], samples[:, 2:4], w, use_svd=True)
+    H, valid = _solve_h(samples[:, :2], samples[:, 2:4], w, exact_nullspace=True)
     return H.reshape(1, 9), valid[None]
 
 

@@ -19,6 +19,7 @@ solve as one fused XLA computation.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from progressivex_tpu.models.base import ModelFamily, register_family
 from progressivex_tpu.ops.linalg import kabsch, quartic_roots_real, smallest_eigvec_psd
@@ -163,6 +164,78 @@ def _nonminimal(data, weights):
     return desc, valid
 
 
+def _so3_exp(w):
+    """Rodrigues: exp of an so(3) vector. [3] -> [3, 3]."""
+    th2 = jnp.sum(w * w)
+    th = jnp.sqrt(th2 + 1e-24)
+    Wx = jnp.array(
+        [[0.0, -w[2], w[1]], [w[2], 0.0, -w[0]], [-w[1], w[0], 0.0]], w.dtype
+    )
+    A = jnp.sin(th) / th
+    B = (1.0 - jnp.cos(th)) / (th2 + 1e-24)
+    return jnp.eye(3, dtype=w.dtype) + A * Wx + B * (Wx @ Wx)
+
+
+def _refine(data, weights, init_desc, n_iters: int = 6):
+    """Weighted Gauss-Newton on the true reprojection error, warm-started.
+
+    The reference's PnP refit is an algebraic non-minimal solve
+    (`gcransac::utils::DefaultPnPEstimator`, progressivex_python.cpp:119),
+    but on small-field-angle scenes (the T-LESS objects subtend ~4 deg) the
+    homogeneous DLT objective is nearly degenerate: its algebraic-error
+    minimizer sits tens of degrees from the reprojection-error minimizer
+    even in f64. Minimizing sum_i w_i ||proj(R X_i + t) - x_i||^2 directly,
+    with the pose updated as R <- exp(omega) R on the left, is exact,
+    f32-stable (the 6x6 normal system is tiny), and fully batched: the
+    Jacobian products are one einsum over N.
+    """
+    Pm = init_desc.reshape(3, 4)
+    R0, t0 = Pm[:, :3], Pm[:, 3]
+    Xw = data[:, 2:5]
+    obs = data[:, :2]
+    w = jnp.maximum(weights, 0.0)
+
+    def step(carry, _):
+        R, t = carry
+        q = Xw @ R.T + t  # [N, 3] camera-frame points
+        z = q[:, 2]
+        front = z > 1e-6
+        zs = jnp.where(front, z, 1.0)
+        invz = 1.0 / zs
+        r = q[:, :2] * invz[:, None] - obs  # [N, 2]
+        zero = jnp.zeros_like(z)
+        # d proj / d q  [N, 2, 3]
+        Jq = jnp.stack(
+            [
+                jnp.stack([invz, zero, -q[:, 0] * invz * invz], -1),
+                jnp.stack([zero, invz, -q[:, 1] * invz * invz], -1),
+            ],
+            1,
+        )
+        # d q / d omega = -[R X]_x (left-multiplicative update); d q / d t = I.
+        rx = q - t[None, :]  # = R X
+        skew = jnp.stack(
+            [
+                jnp.stack([zero, rx[:, 2], -rx[:, 1]], -1),
+                jnp.stack([-rx[:, 2], zero, rx[:, 0]], -1),
+                jnp.stack([rx[:, 1], -rx[:, 0], zero], -1),
+            ],
+            1,
+        )
+        J = jnp.concatenate([jnp.einsum("nij,njk->nik", Jq, skew), Jq], -1)
+        wn = (w * front).astype(data.dtype)  # behind-camera points drop out
+        Jw = J * wn[:, None, None]
+        H = jnp.einsum("nia,nib->ab", Jw, J) + 1e-8 * jnp.eye(6, dtype=data.dtype)
+        g = jnp.einsum("nia,ni->a", Jw, r)
+        d = jnp.linalg.solve(H, -g)
+        return (_so3_exp(d[:3]) @ R, t + d[3:]), None
+
+    (R, t), _ = lax.scan(step, (R0, t0), None, length=n_iters)
+    desc = jnp.concatenate([R, t[:, None]], axis=1).reshape(12)
+    ok = jnp.isfinite(desc).all() & (jnp.sum(w > 0) >= 3)
+    return jnp.where(ok, desc, init_desc), ok
+
+
 def _squared_residual(data, desc):
     """Squared reprojection error in normalized coords. data: [N, 5] -> [N]."""
     Pm = desc.reshape(3, 4)
@@ -190,5 +263,6 @@ PNP = register_family(
         minimal_solver=_minimal,
         nonminimal_solver=_nonminimal,
         squared_residual=_squared_residual,
+        refine_solver=_refine,
     )
 )

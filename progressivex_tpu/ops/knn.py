@@ -14,8 +14,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 from jax import lax
 
-_BIG = 1e18
-
 
 def knn_graph(points, valid_mask, radius, k: int):
     """Build a radius-gated kNN graph.
@@ -36,10 +34,11 @@ def knn_graph(points, valid_mask, radius, k: int):
     sq = jnp.sum(points * points, axis=-1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (points @ points.T)
     d2 = jnp.maximum(d2, 0.0)
-    # Mask self and invalid points.
+    # Mask self and invalid points with +inf so no finite user radius can
+    # ever re-admit them through the radius gate below.
     eye = jnp.eye(n, dtype=bool)
     invalid = ~(valid_mask[None, :] & valid_mask[:, None])
-    d2 = jnp.where(eye | invalid, _BIG, d2)
+    d2 = jnp.where(eye | invalid, jnp.inf, d2)
     neg_d2, idx = lax.top_k(-d2, k)
     d2k = -neg_d2
     mask = (d2k <= radius * radius) & valid_mask[:, None]

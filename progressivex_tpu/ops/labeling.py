@@ -15,9 +15,12 @@ Alpha-expansion performs serial graph cuts; on TPU we instead run
 checkerboard ICM: every sweep computes, for ALL points and ALL labels, the
 local cost (data + Potts against the current neighbor labels) and moves
 half of the points (even, then odd index parity) to their argmin label.
-Two half-sweeps touch every point once and avoid synchronous-Jacobi
-oscillation; each half-sweep monotonically decreases the energy restricted
-to the moved half.
+Two half-sweeps touch every point once and avoid the worst of
+synchronous-Jacobi oscillation. Note index parity is NOT a valid 2-coloring
+of the kNN graph (same-parity neighbors can move simultaneously), so strict
+per-half-sweep energy descent is not guaranteed — the sweep count is
+bounded and the caller keeps the energy for convergence decisions instead
+of relying on monotonicity.
 
 Layout note: every [label, point] tensor is [L, N] with points on the
 128-lane axis — L is tiny (max_models + 1 ≈ 11) and would waste >90% of

@@ -118,7 +118,7 @@ def cubic_roots_real(a, b, c, d):
     q = (2.0 * b**3 - 9.0 * a_safe * b * c + 27.0 * a_safe * a_safe * d) / (
         27.0 * a_safe**3
     )
-    disc = -4.0 * p**3 - 27.0 * q * q  # > 0 -> three real roots
+    disc = -4.0 * p**3 - 27.0 * q * q  # >= 0 -> three real roots (repeats at 0)
 
     # Three-real-roots branch (trigonometric method).
     p_neg = jnp.minimum(p, -_EPS)
@@ -134,7 +134,10 @@ def cubic_roots_real(a, b, c, d):
     t_single = _cbrt_signed(-half_q + sq) + _cbrt_signed(-half_q - sq)
     roots_single = jnp.stack([t_single, t_single, t_single])
 
-    three_real = disc > 0.0
+    # The trigonometric formula remains valid on the disc == 0 boundary
+    # (repeated real roots), so route it there too — the Cardano branch
+    # would return only one of the two distinct roots.
+    three_real = disc >= 0.0
     troots = jnp.where(three_real, roots_tri, roots_single)
     roots = troots - shift
     valid = jnp.where(

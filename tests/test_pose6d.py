@@ -1,0 +1,50 @@
+"""End-to-end 6D-pose gates on the bundled T-LESS scene.
+
+Anchors are the reference demo outputs (`cpp_example.cpp:406-438` /
+`example_multi_pose_6d.ipynb`): rotation errors 8.25 / 0.95 deg,
+translation errors 2.40 / 1.22 cm (data units are mm). Gates allow ~2x.
+"""
+
+import numpy as np
+import pytest
+
+from progressivex_tpu import find6DPoses
+from progressivex_tpu.io.data import load_tless_scene
+from progressivex_tpu.io.metrics import pose_errors
+
+
+@pytest.fixture(scope="module")
+def tless():
+    return load_tless_scene()
+
+
+def test_tless_loader_shapes(tless):
+    xy, xyz, K, gt_poses = tless
+    assert xy.shape == (1886, 2)
+    assert xyz.shape == (1886, 3)
+    assert K.shape == (3, 3) and K[0, 0] > 1000
+    assert gt_poses.shape == (2, 3, 4)
+    # GT rotations must be orthonormal.
+    for P in gt_poses:
+        assert np.allclose(P[:, :3] @ P[:, :3].T, np.eye(3), atol=1e-5)
+
+
+def test_find6dposes_tless_anchors(tless):
+    xy, xyz, K, gt_poses = tless
+    poses, labeling = find6DPoses(
+        xy, xyz, K,
+        threshold=4.0, conf=0.9, spatial_coherence_weight=0.1,
+        neighborhood_ball_radius=20.0, maximum_tanimoto_similarity=0.9,
+        max_iters=400, minimum_point_number=2 * 3, random_seed=0,
+    )
+    k = poses.shape[0] // 3
+    assert k >= 2, f"expected >= 2 pose instances, got {k}"
+    est = [poses[3 * i:3 * i + 3] for i in range(k)]
+    errs = pose_errors(est, gt_poses)
+    # Reference anchors: (8.25 deg, 24.0 mm) and (0.95 deg, 12.2 mm).
+    rot_gates = (16.5, 10.0)
+    tr_gates = (48.0, 25.0)
+    for gi, ((rot, tr), rg, tg) in enumerate(zip(errs, rot_gates, tr_gates)):
+        assert rot <= rg, f"GT pose {gi}: rotation error {rot:.2f} > {rg}"
+        assert tr <= tg, f"GT pose {gi}: translation error {tr:.2f} > {tg}"
+    assert labeling.shape == (1886,)
