@@ -101,6 +101,7 @@ def _run(
     random_seed=0,
     graph_data=None,
     with_statistics=False,
+    lo_spatial_lambda=0.5,
 ):
     t0 = time.perf_counter()
     data = np.ascontiguousarray(data, np.float32)
@@ -123,6 +124,7 @@ def _run(
         family=family_name,
         n_hypotheses=_hyp_budget(max_iters),
         sampler_id=int(sampler_id),
+        lo_spatial_lambda=lo_spatial_lambda,
     )
     params = make_params(
         threshold=threshold,
@@ -377,6 +379,7 @@ def find6DPoses(
         maximum_model_number=maximum_model_number, sampler_id=0,
         scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
         graph_data=graph_data, with_statistics=with_statistics,
+        lo_spatial_lambda=0.0,
     )
     out = descs.reshape(-1, 4).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

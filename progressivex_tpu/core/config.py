@@ -30,10 +30,24 @@ class EngineConfig:
     n_hypotheses: int = 512  # minimal samples drawn per proposal round
     max_models: int = 10  # static slot count (== max accepted, 10 rounds cap)
     max_rounds: int = 10  # reference hard cap (progressive_x.h:272)
-    lo_steps: int = 4  # IRLS local-optimization steps on the best proposal
+    lo_steps: int = 4  # IRLS local-optimization steps per LO candidate
+    lo_candidates: int = 4  # top-T admissible hypotheses polished per round
+    lo_spatial_lambda: float = 0.5  # blend of own vs neighborhood-mean
+    # preference in the LO refit weights (GC-RANSAC spatial coherence
+    # analog). 0 disables; the PnP front end disables it because its
+    # neighborhood graph lives in a mixed pixel/world 5-D space where the
+    # neighborhood mean is not meaningful (api.find6DPoses).
+    # (GC-RANSAC analog: LO fires on every new best model during the
+    # search; here the post-LO winner is selected, engine._proposal)
     pearl_iters: int = 5  # PEARL alternations (labeling <-> refit)
     icm_sweeps: int = 8  # ICM sweeps per labeling call
-    knn_k: int = 12  # neighbor count of the kNN graph
+    knn_k: int = 12  # neighbor count of the labeling (Potts) graph
+    sampler_k: int = 48  # neighbor count for NAPSAC-style local sampling.
+    # Decoupled from knn_k: the Potts degree calibrates the spatial energy
+    # (raising it over-smooths), while the reference's NAPSAC samples from
+    # the full FLANN ball — often hundreds of points at the default radius
+    # (progressivex_python.cpp:104-105,237-239) — and minimal samples drawn
+    # from a too-local 12-NN patch are near-degenerate for H/F models.
     sampler_id: int = 0  # 0 uniform / 1 PROSAC / 2 P-NAPSAC / 3 NAPSAC
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is

@@ -47,6 +47,7 @@ from progressivex_tpu.core.config import (
 from progressivex_tpu.core.pearl import pearl_run
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
+from progressivex_tpu.ops.labeling import adjacency_from_knn
 from progressivex_tpu.ops.sampling import sample_minimal
 from progressivex_tpu.ops.scoring import (
     compound_penalized_scores,
@@ -79,8 +80,8 @@ class FitResult(NamedTuple):
 
 
 def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
-              compound_pref, has_compound, key):
-    """One batched proposal + IRLS local optimization.
+              adj, compound_pref, has_compound, key):
+    """One batched proposal + spatially-coherent IRLS local optimization.
 
     Returns (desc [D], score, valid, sq_residuals [N]).
     """
@@ -125,16 +126,22 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
     admissible = (inliers >= min_needed) & (tan <= params.max_tanimoto)
     scores_adm = jnp.where(admissible, scores, _NEG)
     any_adm = jnp.max(scores_adm) > _NEG / 2
-    best = jnp.where(any_adm, jnp.argmax(scores_adm), jnp.argmax(scores))
-    desc, score = descs_f[best], scores[best]
-    if cfg.hyp_axis is not None:
-        # Reduce the per-device winners to one global winner (tiny
-        # all-gather of [devices] scores + [devices, D] descriptors on ICI).
-        score_all = lax.all_gather(score, cfg.hyp_axis)
-        desc_all = lax.all_gather(desc, cfg.hyp_axis)
-        gbest = jnp.argmax(score_all)
-        desc, score = desc_all[gbest], score_all[gbest]
-    valid = score > _NEG / 2
+    # Local optimization runs on the TOP-T admissible candidates, not just
+    # the single argmax — the batched analog of GC-RANSAC running LO every
+    # time the search finds a new best model. The pre-LO score ranks
+    # hypotheses by raw support, which favors permissive junk models (e.g.
+    # a wide fundamental matrix catching scattered points across several
+    # structures); a clean-but-small hypothesis at rank 2..T routinely
+    # overtakes it after polishing. Selection happens AFTER LO.
+    t = cfg.lo_candidates
+    cand_scores, cand_ids = lax.top_k(scores_adm, t)
+    raw_best = jnp.argmax(scores)
+    cand_ids = jnp.where(any_adm, cand_ids, jnp.full((t,), raw_best))
+    cand_scores = jnp.where(
+        any_adm, cand_scores, jnp.full((t,), scores[raw_best])
+    )
+    cand_descs = descs_f[cand_ids]
+    cand_valid = cand_scores > _NEG / 2
 
     def rescore(d):
         r2d = family.squared_residual(data, d)
@@ -144,10 +151,30 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
         )
         return r2d, s[0]
 
-    def lo_step(carry, _):
-        d, s = carry
+    # Spatial smoothing of the IRLS weights — the batched counterpart of
+    # GC-RANSAC's graph-cut local optimization, where inlier selection
+    # minimizes a residual + spatial-coherence energy (the reference hands
+    # spatial_coherence_weight=0.975 to the proposal engine,
+    # progressive_x.h:71): a point's refit weight blends its own truncated
+    # preference with its neighborhood mean, so coherent structures pull
+    # boundary points in and isolated accidental inliers drop out.
+    deg = jnp.maximum(jnp.sum(adj.astype(data.dtype), axis=1), 1.0)
+
+    lam = cfg.lo_spatial_lambda
+
+    def spatial_weights(pref):
+        if lam == 0.0:
+            return pref
+        nb_mean = jnp.matmul(
+            adj, pref.astype(adj.dtype), preferred_element_type=data.dtype
+        ) / deg
+        return jnp.clip((1.0 - lam) * pref + lam * nb_mean, 0.0, 1.0)
+
+    def lo_step(carry):
+        d, s, _, it = carry
         r2d, _ = rescore(d)
-        w_lo = truncated_preference(r2d, trunc_sq) * pweights * pmask
+        pref_d = truncated_preference(r2d, trunc_sq)
+        w_lo = spatial_weights(pref_d) * pweights * pmask
         nd, ok = family.refit(data, w_lo, d)
         r2n, s_new = rescore(nd)
         # Keep the refit only if it improves the penalized score AND stays
@@ -162,14 +189,40 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
         return (
             jnp.where(better, nd, d),
             jnp.where(better, s_new, s),
-        ), None
+            better,
+            it + 1,
+        )
 
-    (desc, score), _ = lax.scan(lo_step, (desc, score), None, length=cfg.lo_steps)
+    # IRLS local optimization until a step stops improving (a non-improving
+    # step leaves the descriptor unchanged, so further steps are identical
+    # no-ops — the while_loop skips them instead of executing them).
+    def lo_run(d, s):
+        d, s, _, _ = lax.while_loop(
+            lambda c: c[2] & (c[3] < cfg.lo_steps),
+            lo_step,
+            (d, s, jnp.ones((), bool), jnp.int32(0)),
+        )
+        return d, s
+
+    descs_lo, scores_lo = jax.vmap(lo_run)(cand_descs, cand_scores)
+    scores_lo = jnp.where(cand_valid, scores_lo, _NEG)
+    best_t = jnp.argmax(scores_lo)
+    desc, score = descs_lo[best_t], scores_lo[best_t]
+
+    if cfg.hyp_axis is not None:
+        # Reduce the per-device winners to one global winner (tiny
+        # all-gather of [devices] scores + [devices, D] descriptors on ICI).
+        score_all = lax.all_gather(score, cfg.hyp_axis)
+        desc_all = lax.all_gather(desc, cfg.hyp_axis)
+        gbest = jnp.argmax(score_all)
+        desc, score = desc_all[gbest], score_all[gbest]
+    valid = score > _NEG / 2
     r2_best = family.squared_residual(data, desc)
     return desc, score, valid, r2_best
 
 
-def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, state):
+def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, adj,
+           state):
     """One propose -> validate -> optimize -> update -> terminate round."""
     k_slots = cfg.max_models
     outlier_label = jnp.int32(k_slots)
@@ -180,12 +233,14 @@ def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, state)
     # --- proposal (GC-RANSAC replacement) ---
     desc, score, prop_valid, r2_best = _proposal(
         family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
-        state.compound_pref, has_compound, k_prop,
+        adj, state.compound_pref, has_compound, k_prop,
     )
 
     # --- validation (progressive_x.h:565-591) ---
     pref_p = truncated_preference(r2_best, trunc_sq) * pmask
-    inlier_cnt = jnp.sum((r2_best < trunc_sq) & pmask)
+    # Raw-threshold inlier count, matching the reference's validation
+    # against GC-RANSAC's tau-inliers (progressive_x.h:571-575).
+    inlier_cnt = jnp.sum((r2_best < params.threshold * params.threshold) & pmask)
 
     # Effective RANSAC iteration count: the batch explores up to B samples,
     # but sequential GC-RANSAC would have stopped adaptively after
@@ -225,7 +280,7 @@ def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, state)
     )
     pres = pearl_run(
         family, cfg, params, data, pmask, pweights, descs, active,
-        state.labels, knn_idx, knn_mask,
+        state.labels, adj,
     )
     use_pearl = accepted & (n_active > 1)
     descs = jnp.where(use_pearl, pres.descs, descs)
@@ -286,7 +341,18 @@ def fit(
     n = data.shape[0]
     k_slots = cfg.max_models
     gd = data if graph_data is None else graph_data
-    knn_idx, knn_mask = knn_graph(gd, point_mask, params.neighborhood_radius, cfg.knn_k)
+    # One top_k pass serves two neighborhoods: the first knn_k columns form
+    # the labeling (Potts) graph, the full sampler_k columns the NAPSAC
+    # sampling neighborhood (see config.py for why they differ).
+    k_all = max(cfg.knn_k, cfg.sampler_k)
+    samp_idx, samp_mask = knn_graph(
+        gd, point_mask, params.neighborhood_radius, k_all
+    )
+    knn_idx, knn_mask = samp_idx[:, : cfg.knn_k], samp_mask[:, : cfg.knn_k]
+    # Dense one-hot adjacency (bf16): built once per fit, reused by every
+    # ICM sweep of every PEARL call as an MXU matmul operand (see
+    # ops/labeling.py hardware note).
+    adj = adjacency_from_knn(knn_idx, knn_mask)
 
     state = FitState(
         key=key,
@@ -300,40 +366,42 @@ def fit(
         done=jnp.zeros((), bool),
     )
 
-    def body(state, _):
-        def skip(state):
-            key, _ = jax.random.split(state.key)
-            return state._replace(key=key), jnp.zeros((), bool)
+    # Rounds run as a while_loop, not a fixed-trip scan: the reference's
+    # loop breaks on termination (progressive_x.h:272,:468-473) and so does
+    # this one. In single-scene jit the loop simply stops; under vmap the
+    # batched while_loop runs until EVERY lane is done and applies masked
+    # updates, so a scene batch pays max-rounds-needed, not the 10-round
+    # worst case for every scene. With hyp_axis set, the per-round
+    # collectives execute identically on all devices every iteration (the
+    # reduced winner and hence `done` agree across the axis, so the loop
+    # condition is consistent).
+    def cond(carry):
+        state, rounds = carry
+        return ~state.done & (rounds < cfg.max_rounds)
 
-        def run(state):
-            return _round(
-                family, cfg, params, data, point_mask, point_weights,
-                knn_idx, knn_mask, state,
-            )
+    def body(carry):
+        state, rounds = carry
+        new_state, _ = _round(
+            family, cfg, params, data, point_mask, point_weights,
+            samp_idx, samp_mask, adj, state,
+        )
+        # Freeze lanes that were already done (only reachable under vmap's
+        # masked execution; scalar jit exits the loop instead).
+        new_state = jax.tree.map(
+            lambda new, old: jnp.where(state.done, old, new),
+            new_state,
+            state._replace(key=new_state.key),
+        )
+        return new_state, rounds + jnp.where(state.done, 0, 1)
 
-        if cfg.hyp_axis is not None:
-            # The hypothesis-parallel round contains collectives, which are
-            # not allowed under a data-dependent cond; run unconditionally
-            # (all devices agree on `done`) and freeze finished state.
-            new_state, _ = run(state)
-            new_state = jax.tree.map(
-                lambda new, old: jnp.where(state.done, old, new),
-                new_state,
-                state._replace(key=new_state.key),
-            )
-            return new_state, ~state.done
-        # cond skips finished scenes entirely in single-scene jit; under
-        # vmap it lowers to a select (both branches run, per-lane choice).
-        return lax.cond(state.done, skip, run, state)
-
-    state, ran = lax.scan(body, state, None, length=cfg.max_rounds)
+    state, rounds_run = lax.while_loop(cond, body, (state, jnp.int32(0)))
     return FitResult(
         descs=state.descs,
         active=state.active,
         labels=state.labels,
         n_models=jnp.sum(state.active).astype(jnp.int32),
         total_iters=state.total_iters,
-        rounds_run=jnp.sum(ran).astype(jnp.int32),
+        rounds_run=rounds_run,
     )
 
 

@@ -29,6 +29,8 @@ from progressivex_tpu.core.config import EngineConfig, RuntimeParams, truncated_
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops import labeling as labeling_ops
 
+_BIG_COST = 1e18
+
 
 class PearlResult(NamedTuple):
     descs: jnp.ndarray  # [K, D] possibly-refit descriptors
@@ -47,8 +49,7 @@ def pearl_run(
     descs,  # [K, D]
     active,  # [K] bool
     labels,  # [N] warm-start labels (slot space; K = outlier)
-    knn_idx,  # [N, k] neighbor indices
-    knn_mask,  # [N, k] neighbor validity
+    adj,  # [N, N] one-hot neighborhood adjacency (ops/labeling.py)
 ) -> PearlResult:
     k_slots = cfg.max_models
     outlier_label = jnp.int32(k_slots)
@@ -63,11 +64,15 @@ def pearl_run(
     def residual_matrix(descs):
         return jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs)
 
-    def iteration(carry, _):
-        descs, active, labels = carry
+    def iteration(carry):
+        descs, active, labels, r2, e_prev, it, _ = carry
+        # `r2` is the [K, N] squared-residual matrix of the CURRENT descs,
+        # carried across iterations and updated in place after accepted
+        # refits — the labeling, refit-acceptance and elimination steps all
+        # reuse it instead of recomputing (the reference keeps the same
+        # cache, PEARL.h:39,52-53,111-118).
 
         # --- 1. labeling ---
-        r2 = residual_matrix(descs)  # [K, N]
         dcost = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
         # Initialize from the per-point data argmin rather than the previous
         # labeling: parallel ICM cannot flip a whole cluster over the Potts
@@ -77,7 +82,7 @@ def pearl_run(
         # the sweeps then enforce spatial coherence at the boundaries.
         init = jnp.argmin(dcost, axis=0).astype(jnp.int32)
         labels, energy = labeling_ops.icm_sweeps(
-            dcost, init, knn_idx, knn_mask, w, cfg.icm_sweeps
+            dcost, init, adj, w, cfg.icm_sweeps
         )
 
         # --- 2. per-instance refit (vmapped over slots) ---
@@ -99,6 +104,7 @@ def pearl_run(
             & (res_after < res_before)
         )
         descs = jnp.where(accept[:, None], new_descs, descs)
+        r2 = jnp.where(accept[:, None], r2_new, r2)
 
         # --- 3. label-cost elimination + weak-instance rejection ---
         # GCO charges `minimum_inlier_number` per label in use
@@ -110,25 +116,58 @@ def pearl_run(
         # data cost); drop the weakest label if gain < label cost. One
         # deletion per PEARL iteration (like sequential expansion), points
         # are re-assigned by data argmin over the survivors.
-        dcost2 = labeling_ops.data_costs(
-            residual_matrix(descs), active, point_mask, w, trunc_sq
-        )
+        dcost2 = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
         n_pts = labels.shape[0]
         chosen = jnp.take_along_axis(dcost2, labels[None, :], axis=0)[0]
         excl = dcost2.at[labels, jnp.arange(n_pts)].set(1e18)
         alt = jnp.min(excl, axis=0)
+        alt_label = jnp.argmin(excl, axis=0).astype(labels.dtype)
+        # EXACT group-move deletion test, evaluated for EVERY active label:
+        # deleting label l relabels all its points to their best
+        # alternative at once (the binary expansion move GCO's label-cost
+        # extension solves, Delong et al.; setLabelCost at PEARL.h:528-529)
+        # and is worth it iff
+        #   Delta_data(l) + Delta_potts(l) < label_cost.
+        # Delta_data is the per-point margin sum; Delta_potts is computed
+        # EXACTLY for the hypothetical relabeling of each candidate — one
+        # batched adjacency matmul for all K candidates at once. Earlier
+        # per-point Potts approximations failed in both directions:
+        # "-2w * boundary cut" deleted real structures at w=0.5 (the cut is
+        # not recovered when points keep mismatching under their new
+        # label), and "+2w * (own - target) same-neighbors" protected every
+        # compact instance, including duplicate twins. The exact delta
+        # keeps genuinely supported structures (data margin > cost, Potts
+        # ~ unchanged under a group move), kills scattered pseudo-models
+        # (Potts drops when stragglers rejoin their neighbors' label) and
+        # kills duplicate twins (data margin ~ 0).
         point_gain = jnp.where(point_mask, alt - chosen, 0.0)
-        # Keeping a label also pays the Potts cost of its boundary: a
-        # scattered phantom instance has mismatching neighbors everywhere
-        # (large cut), a compact real structure only at its perimeter.
-        # Deleting the label recovers ~2*w*cut (both edge directions).
-        nb_labels = labels[knn_idx]
-        mismatch = jnp.sum(
-            (nb_labels != labels[:, None]) & knn_mask, axis=1
-        ).astype(point_gain.dtype)
-        point_gain = point_gain - 2.0 * w * jnp.where(point_mask, mismatch, 0.0)
-        onehot2 = labels[:, None] == jnp.arange(k_slots)[None, :]
-        gains = jnp.sum(jnp.where(onehot2, point_gain[:, None], 0.0), axis=0)
+        slot_ids = jnp.arange(k_slots)
+        onehot2 = labels[:, None] == slot_ids[None, :]
+        data_delta = jnp.sum(jnp.where(onehot2, point_gain[:, None], 0.0), axis=0)
+        # Hypothetical labelings: labels_wo[k] = labels with slot k deleted.
+        labels_wo = jnp.where(
+            labels[None, :] == slot_ids[:, None], alt_label[None, :], labels[None, :]
+        )  # [K, N]
+        Yw = jax.nn.one_hot(labels_wo, k_slots + 1, dtype=adj.dtype)  # [K,N,L]
+        same_wo = jnp.einsum(
+            "nm,kml->knl", adj, Yw, preferred_element_type=jnp.float32
+        )
+        own_wo = jnp.take_along_axis(same_wo, labels_wo[:, :, None], axis=2)[..., 0]
+        deg = jnp.sum(adj.astype(jnp.float32), axis=1)
+        potts_wo = w * jnp.sum(deg[None, :] - own_wo, axis=1)  # [K]
+        same_now = labeling_ops.neighbor_label_counts(adj, labels, k_slots + 1)
+        own_now = jnp.take_along_axis(same_now, labels[None, :], axis=0)[0]
+        potts_now = w * jnp.sum(deg - own_now)
+        # Only Potts SAVINGS count toward deletion. A negative delta is
+        # real: a scattered pseudo-model's stragglers rejoin their
+        # neighbors' label and mismatches vanish. A positive delta is an
+        # artifact of the crude one-shot argmin reassignment fragmenting
+        # the deleted set — the ICM pass that follows would immediately
+        # smooth it out — and counting it protected compact-but-redundant
+        # partial models (measured: fundamental-matrix scenes fragmented
+        # into 3-4 partial instances that each "cost too much Potts" to
+        # delete).
+        gains = data_delta + jnp.minimum(0.0, potts_wo - potts_now)
         gains = jnp.where(active, gains, jnp.inf)
         weakest = jnp.argmin(gains)
         label_cost = params.min_inliers.astype(gains.dtype)
@@ -142,19 +181,38 @@ def pearl_run(
         active = active & (counts2 >= params.min_inliers)
 
         # Re-assign points of removed instances by data argmin.
-        dcost3 = labeling_ops.data_costs(
-            residual_matrix(descs), active, point_mask, w, trunc_sq
-        )
+        dcost3 = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
         labels = jnp.where(
             jnp.concatenate([active, jnp.array([True])])[labels],
             labels,
             jnp.argmin(dcost3, axis=0).astype(labels.dtype),
         )
 
-        return (descs, active, labels), energy
+        # Convergence bookkeeping (reference PEARL.h:463-467: converged iff
+        # nothing changed AND |E - E_prev| < 1e-5, after at least one full
+        # alternation). `changed` drives the while_loop condition below.
+        changed = (
+            jnp.any(accept)
+            | jnp.any(active != carry[1])
+            | jnp.any(labels != carry[2])
+            | (jnp.abs(energy - e_prev) >= 1e-5 * (1.0 + jnp.abs(energy)))
+        )
+        return (descs, active, labels, r2, energy, it + 1, changed)
+
+    def cond(carry):
+        it, changed = carry[5], carry[6]
+        return (it < cfg.pearl_iters) & changed
 
     labels = sanitize(labels, active)
-    (descs, active, labels), energies = lax.scan(
-        iteration, (descs, active, labels), None, length=cfg.pearl_iters
+    r2_init = residual_matrix(descs)
+    init = (
+        descs, active, labels, r2_init,
+        jnp.array(jnp.inf, r2_init.dtype), jnp.int32(0), jnp.ones((), bool),
     )
-    return PearlResult(descs, active, labels, energies[-1])
+    # while_loop instead of a fixed-trip scan: the reference iterates PEARL
+    # to convergence (PEARL.h:421-422,:463-467); under vmap a batch of
+    # scenes pays max-iterations-needed, not the worst-case cap, and a
+    # converged (or round-rejected, hence unchanged) scene exits after one
+    # cheap verification iteration.
+    descs, active, labels, _, energy, _, _ = lax.while_loop(cond, iteration, init)
+    return PearlResult(descs, active, labels, energy)

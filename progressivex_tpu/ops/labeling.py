@@ -22,10 +22,20 @@ per-half-sweep energy descent is not guaranteed — the sweep count is
 bounded and the caller keeps the energy for convergence decisions instead
 of relying on monotonicity.
 
+Hardware note — why a dense adjacency MATMUL and not a gather: the Potts
+term needs, per point, a histogram of its neighbors' labels. The obvious
+`labels[knn_idx]` gather lowers to TPU gather instructions that cost
+milliseconds per sweep at N ~ 2k (measured ~7 ms vs ~0.1 ms for the whole
+rest of the sweep); TPUs move irregular data through the MXU instead. With
+the (static per fit) one-hot adjacency A [N, N] and the one-hot labeling
+Y [N, L], the full histogram for every point and every label is one
+A @ Y matmul in bf16 with f32 accumulation — exact (counts <= k << 256) and
+two orders of magnitude faster. A is built once per scene and reused by
+every sweep of every PEARL call of every round.
+
 Layout note: every [label, point] tensor is [L, N] with points on the
-128-lane axis — L is tiny (max_models + 1 ≈ 11) and would waste >90% of
-each vector register if it sat in lanes. The Potts neighbor count is a
-static unrolled loop over L of [N, k] compares, all lane-parallel over N.
+128-lane axis — L is tiny (max_models + 1 ~ 11) and would waste >90% of
+each vector register if it sat in lanes.
 
 Label-cost handling differs by design: GCO charges `minimum_inlier_number`
 per label in use (`PEARL.h:528-529`); here weak instances are removed by
@@ -35,6 +45,7 @@ the explicit label-cost elimination + rejection steps in PEARL
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -67,56 +78,98 @@ def data_costs(sq_residuals, active, point_mask, spatial_weight, trunc_sq):
     return jnp.where(point_mask[None, :], costs, pad_col)
 
 
-def _neighbor_same_counts(labels, knn_idx, knn_mask, num_labels: int):
-    """[L, N]: for each label l and point n, how many of n's valid
-    neighbors currently carry label l. Static unrolled loop over the tiny
-    L axis keeps every op [N, k]-shaped (points on lanes)."""
-    nb_labels = labels[knn_idx]  # [N, k]
-    rows = []
-    for l in range(num_labels):
-        rows.append(jnp.sum((nb_labels == l) & knn_mask, axis=1))
-    return jnp.stack(rows).astype(jnp.float32)  # [L, N]
+def _adj_dtype():
+    """bf16 on TPU (half the HBM traffic for the big A operand; counts are
+    small integers so bf16 x bf16 -> f32 accumulation is exact). The CPU
+    backend used in tests lacks that dot kernel, so f32 there."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
 
 
-def _local_costs(dcost, labels, knn_idx, knn_mask, spatial_weight):
+def adjacency_from_knn(knn_idx, knn_mask, chunk: int = 512):
+    """Dense one-hot adjacency A [N, N] from a padded kNN graph.
+
+    A[i, j] = 1 iff j is a valid kNN neighbor of i (directed, matching the
+    per-point neighbor lists the reference hands to GCO, PEARL.h:532-536).
+    Built in row chunks so the [C, k, N] one-hot transient stays small.
+    """
+    n, k = knn_idx.shape
+    dt = _adj_dtype()
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+
+    def one_chunk(c):
+        rows = lax.dynamic_slice(knn_idx, (c * chunk, 0), (chunk, k))
+        mask = lax.dynamic_slice(knn_mask, (c * chunk, 0), (chunk, k))
+        oh = jax.nn.one_hot(rows, n, dtype=dt)  # [C, k, N]
+        return jnp.einsum("ckn,ck->cn", oh, mask.astype(dt))
+
+    A = lax.map(one_chunk, jnp.arange(n_chunks))  # [n_chunks, C, N]
+    return A.reshape(n_chunks * chunk, n)[:n]
+
+
+def neighbor_label_counts(adj, labels, num_labels: int):
+    """[L, N]: for each label l and point n, how many of n's neighbors
+    currently carry label l — one adjacency matmul on the MXU."""
+    Y = jax.nn.one_hot(labels, num_labels, dtype=adj.dtype)  # [N, L]
+    counts = jnp.matmul(adj, Y, preferred_element_type=jnp.float32)
+    return counts.T  # [L, N]
+
+
+def _local_costs(dcost, labels, adj, deg, spatial_weight):
     """dcost + Potts term against the current neighbor labels. [L, N]."""
-    num_labels = dcost.shape[0]
-    same = _neighbor_same_counts(labels, knn_idx, knn_mask, num_labels)
-    deg = jnp.sum(knn_mask, axis=1).astype(dcost.dtype)  # [N]
+    same = neighbor_label_counts(adj, labels, dcost.shape[0])
     potts = spatial_weight * (deg[None, :] - same)
     return dcost + potts
 
 
-def icm_sweeps(dcost, labels, knn_idx, knn_mask, spatial_weight, n_sweeps: int):
-    """Run n_sweeps checkerboard ICM sweeps; returns (labels, energy).
+def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int):
+    """Run up to n_sweeps checkerboard ICM sweeps with change detection;
+    returns (labels, energy).
+
+    The loop exits as soon as a full sweep moves no point — the analog of
+    alpha-expansion running to convergence (`PEARL.h:549-551` caps sweeps,
+    gco stops when no move helps). Under `vmap` the while_loop runs until
+    every lane converges and applies masked updates, so a batch of scenes
+    pays the DEEPEST scene's sweep count, not n_sweeps, per labeling call.
 
     When spatial_weight == 0 this reduces to the argmin over data costs
-    (exactly the reference behavior of a Potts-free labeling).
+    (exactly the reference behavior of a Potts-free labeling) and exits
+    after the first sweep.
     """
     n = dcost.shape[1]
     parity = (jnp.arange(n) % 2).astype(bool)
+    deg = jnp.sum(adj.astype(jnp.float32), axis=1)
 
     def half_sweep(labels, move_mask):
-        costs = _local_costs(dcost, labels, knn_idx, knn_mask, spatial_weight)
+        costs = _local_costs(dcost, labels, adj, deg, spatial_weight)
         best = jnp.argmin(costs, axis=0).astype(labels.dtype)
         return jnp.where(move_mask, best, labels)
 
-    def sweep(labels, _):
-        labels = half_sweep(labels, parity)
-        labels = half_sweep(labels, ~parity)
-        return labels, None
+    def cond(carry):
+        _, changed, sweep = carry
+        return changed & (sweep < n_sweeps)
 
-    labels, _ = lax.scan(sweep, labels, None, length=n_sweeps)
-    energy = labeling_energy(dcost, labels, knn_idx, knn_mask, spatial_weight)
+    def body(carry):
+        labels, _, sweep = carry
+        new = half_sweep(labels, parity)
+        new = half_sweep(new, ~parity)
+        return new, jnp.any(new != labels), sweep + 1
+
+    labels, _, _ = lax.while_loop(
+        cond, body, (labels, jnp.ones((), bool), jnp.int32(0))
+    )
+    energy = labeling_energy(dcost, labels, adj, spatial_weight)
     return labels, energy
 
 
-def labeling_energy(dcost, labels, knn_idx, knn_mask, spatial_weight):
+def labeling_energy(dcost, labels, adj, spatial_weight):
     """Total energy of a labeling (for convergence tests and logging)."""
     data = jnp.sum(jnp.take_along_axis(dcost, labels[None, :], axis=0))
-    nb_labels = labels[knn_idx]
-    diff = (nb_labels != labels[:, None]) & knn_mask
-    # Directed-edge count, matching the reference's double-registration of
-    # symmetric FLANN edges in GCO (PEARL.h:532-536).
-    potts = spatial_weight * jnp.sum(diff)
+    num_labels = dcost.shape[0]
+    same = neighbor_label_counts(adj, labels, num_labels)  # [L, N]
+    own = jnp.take_along_axis(same, labels[None, :], axis=0)[0]  # [N]
+    deg = jnp.sum(adj.astype(jnp.float32), axis=1)
+    # Directed-edge mismatch count, matching the reference's
+    # double-registration of symmetric FLANN edges in GCO (PEARL.h:532-536).
+    potts = spatial_weight * jnp.sum(deg - own)
     return data + potts

@@ -11,8 +11,8 @@ Sampler ids follow the reference front ends (progressivex_python.cpp:215-245):
   0 = uniform, 1 = PROSAC, 2 = Progressive NAPSAC, 3 = NAPSAC.
 
 Batched semantics:
-  * uniform  — Gumbel top-m over the valid mask = uniform sample w/o
-    replacement per hypothesis.
+  * uniform  — m independent uniform draws per hypothesis; the rare
+    duplicate collision (P ~ m^2/2N) just invalidates that hypothesis.
   * PROSAC   — hypothesis b draws from the top-n(b) quality-ranked prefix,
     n(b) ramping m+1 -> n_valid across the batch (the batched analog of the
     PROSAC growth schedule; inputs must be quality-sorted like the
@@ -22,6 +22,18 @@ Batched semantics:
     sample NAPSAC-style from small neighborhoods, late hypotheses blend to
     global uniform (mirrors the 0.5-blend-length construction at
     progressivex_python.cpp:227-235).
+
+Hardware note: index generation is pure integer math sized [B, m] — NO
+[B, N] tensors. An earlier Gumbel-top-k formulation materialized a [B, N]
+logit matrix + top_k per proposal round and cost 46-90 ms per call on a
+v5e at B=1000, N~2k (it was the single largest line item in the whole fit);
+the randint formulation is ~3 ms. This relies on the engine-wide invariant
+that padding rows are a SUFFIX: valid data rows are exactly 0..n_valid-1
+(the API layer pads that way by construction), so a uniform valid index is
+just randint(0, n_valid). Duplicate indices within a sample mark it
+invalid (`ok=False`) rather than being resampled — data-independent shapes
+beat a rejection loop, and the engine already treats invalid samples as
+failed hypotheses.
 
 All samplers return (idx [B, m] int32, ok [B] bool).
 """
@@ -35,69 +47,94 @@ from jax import lax
 _NEG = -1e30
 
 
-def _gumbel(key, shape, dtype=jnp.float32):
-    u = jax.random.uniform(key, shape, dtype=dtype, minval=1e-20, maxval=1.0)
-    return -jnp.log(-jnp.log(u))
+def _distinct(idx):
+    """[B] bool: no duplicate indices within a row of idx [B, m]."""
+    m = idx.shape[-1]
+    dup = (idx[:, :, None] == idx[:, None, :]) & ~jnp.eye(m, dtype=bool)[None]
+    return ~jnp.any(dup, axis=(1, 2))
 
 
-def _topk_sample(key, logw, m: int):
-    """Sample m distinct indices per row of logw [B, N] via Gumbel top-k."""
-    g = _gumbel(key, logw.shape) + logw
-    vals, idx = lax.top_k(g, m)
-    ok = vals[:, -1] > _NEG / 2
-    return idx.astype(jnp.int32), ok
+def uniform_sample(key, n_hyp: int, m: int, n_valid):
+    """m uniform draws from the valid prefix [0, n_valid) per hypothesis."""
+    idx = jax.random.randint(key, (n_hyp, m), 0, jnp.maximum(n_valid, 1))
+    return idx.astype(jnp.int32), _distinct(idx) & (n_valid >= m)
 
 
-def uniform_sample(key, n_hyp: int, m: int, valid_mask):
-    logw = jnp.where(valid_mask, 0.0, _NEG)[None, :].repeat(n_hyp, axis=0)
-    return _topk_sample(key, logw, m)
-
-
-def prosac_sample(key, n_hyp: int, m: int, valid_mask, n_valid):
+def prosac_sample(key, n_hyp: int, m: int, n_valid):
     """Prefix-growth sampling; assumes rows are quality-sorted descending."""
-    n = valid_mask.shape[0]
-    rank = jnp.arange(n)
     b = jnp.arange(n_hyp, dtype=jnp.float32)[:, None]
     frac = (b + 1.0) / n_hyp
-    prefix = jnp.minimum(
-        m + jnp.ceil(frac * (n_valid.astype(jnp.float32) - m)), n_valid
-    )
-    logw = jnp.where((rank[None, :] < prefix) & valid_mask[None, :], 0.0, _NEG)
-    return _topk_sample(key, logw, m)
+    nv = n_valid.astype(jnp.float32)
+    prefix = jnp.minimum(m + jnp.ceil(frac * (nv - m)), nv)
+    prefix = jnp.maximum(prefix, 1.0).astype(jnp.int32)  # [B, 1]
+    u = jax.random.uniform(key, (n_hyp, m))
+    idx = jnp.floor(u * prefix.astype(jnp.float32)).astype(jnp.int32)
+    idx = jnp.minimum(idx, prefix - 1)
+    return idx, _distinct(idx) & (n_valid >= m)
 
 
-def napsac_sample(key, n_hyp: int, m: int, valid_mask, knn_idx, knn_mask):
+def napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mask):
     """Center + (m-1) of its kNN neighbors; falls back to uniform when the
     neighborhood is too small."""
     k_center, k_nbr, k_fallback = jax.random.split(key, 3)
-    # Centers: one Gumbel top-1 draw per hypothesis.
-    c_idx, _ = _topk_sample(
-        k_center, jnp.where(valid_mask, 0.0, _NEG)[None, :].repeat(n_hyp, axis=0), 1
-    )
-    centers = c_idx[:, 0]  # [B]
-    nbr_ids = knn_idx[centers]  # [B, K]
+    centers = jax.random.randint(
+        k_center, (n_hyp,), 0, jnp.maximum(n_valid, 1)
+    ).astype(jnp.int32)
+    nbr_ids = knn_idx[centers]  # [B, K] — small gather, B*K elements
     nbr_ok = knn_mask[centers]  # [B, K]
-    g = _gumbel(k_nbr, nbr_ok.shape) + jnp.where(nbr_ok, 0.0, _NEG)
+    # Choose m-1 distinct neighbors: Gumbel top-k over the tiny K axis.
+    g = jax.random.gumbel(k_nbr, nbr_ok.shape) + jnp.where(nbr_ok, 0.0, _NEG)
     vals, pick = lax.top_k(g, m - 1)
     picked = jnp.take_along_axis(nbr_ids, pick, axis=1)
     idx = jnp.concatenate([centers[:, None], picked], axis=1).astype(jnp.int32)
     ok = vals[:, -1] > _NEG / 2
     # Fallback: uniform samples wherever the neighborhood was too small.
-    u_idx, u_ok = uniform_sample(k_fallback, n_hyp, m, valid_mask)
+    u_idx, u_ok = uniform_sample(k_fallback, n_hyp, m, n_valid)
     idx = jnp.where(ok[:, None], idx, u_idx)
     return idx, ok | u_ok
 
 
-def progressive_napsac_sample(key, n_hyp: int, m: int, valid_mask, knn_idx, knn_mask):
-    """Local-to-global anneal: NAPSAC for the first half of the batch,
-    uniform for the second half (the batched counterpart of P-NAPSAC's
-    per-iteration neighborhood growth)."""
-    k_local, k_global = jax.random.split(key)
-    l_idx, l_ok = napsac_sample(k_local, n_hyp, m, valid_mask, knn_idx, knn_mask)
-    g_idx, g_ok = uniform_sample(k_global, n_hyp, m, valid_mask)
-    use_local = jnp.arange(n_hyp) < n_hyp // 2
-    idx = jnp.where(use_local[:, None], l_idx, g_idx)
-    return idx, jnp.where(use_local, l_ok, g_ok)
+def progressive_napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mask):
+    """Progressive NAPSAC: the neighborhood each hypothesis samples from
+    GROWS across the batch — hypothesis b draws its m-1 companions from the
+    center's nearest k(b) neighbors, with k(b) ramping from m-1 to the full
+    sampler neighborhood, and the final ~12% of the batch samples globally.
+
+    This is the batched counterpart of the reference's annealed grid-layer
+    schedule (`progressivex_python.cpp:227-235`: {16, 8, 4, 2} grid layers
+    blending to global). The strong local bias early in the schedule
+    matters for multi-model two-view geometry: minimal samples spanning
+    several rigid motions produce "bridge" models that score well globally
+    but mix structures; mostly-local sampling makes clean single-structure
+    hypotheses the common case, as in the reference.
+    """
+    k_center, k_nbr, k_global = jax.random.split(key, 3)
+    k_max = knn_idx.shape[1]
+    centers = jax.random.randint(
+        k_center, (n_hyp,), 0, jnp.maximum(n_valid, 1)
+    ).astype(jnp.int32)
+    nbr_ids = knn_idx[centers]  # [B, K]
+    nbr_ok = knn_mask[centers]
+    # Neighborhood size ramp: k(b) in [m-1, k_max] over the local phase.
+    n_local = (n_hyp * 7) // 8
+    b = jnp.arange(n_hyp, dtype=jnp.float32)
+    frac = jnp.minimum(b / jnp.maximum(n_local - 1, 1), 1.0)
+    k_b = jnp.ceil((m - 1) + frac * (k_max - (m - 1)))  # [B]
+    in_window = jnp.arange(k_max)[None, :] < k_b[:, None]
+    g = jax.random.gumbel(k_nbr, nbr_ok.shape) + jnp.where(
+        nbr_ok & in_window, 0.0, _NEG
+    )
+    vals, pick = lax.top_k(g, m - 1)
+    picked = jnp.take_along_axis(nbr_ids, pick, axis=1)
+    l_idx = jnp.concatenate([centers[:, None], picked], axis=1).astype(jnp.int32)
+    l_ok = vals[:, -1] > _NEG / 2
+    g_idx, g_ok = uniform_sample(k_global, n_hyp, m, n_valid)
+    use_local = jnp.arange(n_hyp) < n_local
+    # Local draws that lacked enough in-window neighbors fall back to the
+    # global sample for that hypothesis.
+    take_local = use_local & l_ok
+    idx = jnp.where(take_local[:, None], l_idx, g_idx)
+    return idx, jnp.where(take_local, l_ok, g_ok)
 
 
 def sample_minimal(
@@ -105,20 +142,21 @@ def sample_minimal(
     sampler_id: int,
     n_hyp: int,
     m: int,
-    valid_mask,
+    valid_mask,  # kept for interface compatibility; padding is a suffix
     n_valid,
     knn_idx,
     knn_mask,
 ):
     """Dispatch on the (static) sampler id. Returns (idx [B, m], ok [B])."""
+    del valid_mask  # suffix-padding invariant: valid rows are 0..n_valid-1
     if sampler_id == 0:
-        return uniform_sample(key, n_hyp, m, valid_mask)
+        return uniform_sample(key, n_hyp, m, n_valid)
     if sampler_id == 1:
-        return prosac_sample(key, n_hyp, m, valid_mask, n_valid)
+        return prosac_sample(key, n_hyp, m, n_valid)
     if sampler_id == 2:
         return progressive_napsac_sample(
-            key, n_hyp, m, valid_mask, knn_idx, knn_mask
+            key, n_hyp, m, n_valid, knn_idx, knn_mask
         )
     if sampler_id == 3:
-        return napsac_sample(key, n_hyp, m, valid_mask, knn_idx, knn_mask)
+        return napsac_sample(key, n_hyp, m, n_valid, knn_idx, knn_mask)
     raise ValueError(f"Unknown sampler id {sampler_id}")

@@ -45,8 +45,14 @@ def compound_penalized_scores(
     # shared^e with e possibly fractional; shared >= 0 by construction.
     penalty = jnp.power(jnp.maximum(shared, 0.0), exponent)
     scores = jnp.where(has_compound, raw - penalty, raw)
+    # Inlier COUNTS use the raw threshold tau^2, not the 2.25x truncated
+    # one: the reference validates proposals against GC-RANSAC's inlier
+    # list at tau (progressive_x.h:571-575), and counting at the truncated
+    # threshold admits ~1.5x looser marginal models that the reference
+    # would reject.
     inliers = jnp.sum(
-        (sq_residuals < truncated_sq_threshold) & point_mask[None, :], axis=-1
+        (sq_residuals < truncated_sq_threshold / 2.25) & point_mask[None, :],
+        axis=-1,
     ).astype(jnp.int32)
     return scores, inliers, pref
 

@@ -4,7 +4,12 @@
 import numpy as np
 import jax.numpy as jnp
 
-from progressivex_tpu.ops.labeling import data_costs, icm_sweeps, labeling_energy
+from progressivex_tpu.ops.labeling import (
+    adjacency_from_knn,
+    data_costs,
+    icm_sweeps,
+    labeling_energy,
+)
 
 
 def _random_problem(seed, n=60, k=3, knn=4):
@@ -14,7 +19,8 @@ def _random_problem(seed, n=60, k=3, knn=4):
     mask = np.ones(n, bool)
     idx = np.stack([r.permutation(n)[:knn] for _ in range(n)])
     knn_mask = np.ones((n, knn), bool)
-    return jnp.array(r2), jnp.array(active), jnp.array(mask), jnp.array(idx), jnp.array(knn_mask)
+    adj = adjacency_from_knn(jnp.array(idx), jnp.array(knn_mask))
+    return jnp.array(r2), jnp.array(active), jnp.array(mask), adj
 
 
 def test_data_costs_reference_values():
@@ -43,30 +49,30 @@ def test_data_costs_padding_pins_outlier():
 
 
 def test_icm_monotone_energy():
-    r2, active, mask, idx, knn_mask = _random_problem(1)
+    r2, active, mask, adj = _random_problem(1)
     w = 0.4
     dcost = data_costs(r2, active, mask, w, 4.0)
     labels0 = jnp.full((r2.shape[1],), r2.shape[0], jnp.int32)  # all outlier
-    e0 = labeling_energy(dcost, labels0, idx, knn_mask, w)
-    labels1, e1 = icm_sweeps(dcost, labels0, idx, knn_mask, w, 1)
-    labels8, e8 = icm_sweeps(dcost, labels0, idx, knn_mask, w, 8)
+    e0 = labeling_energy(dcost, labels0, adj, w)
+    labels1, e1 = icm_sweeps(dcost, labels0, adj, w, 1)
+    labels8, e8 = icm_sweeps(dcost, labels0, adj, w, 8)
     assert float(e1) <= float(e0) + 1e-5
     assert float(e8) <= float(e1) + 1e-5
 
 
 def test_icm_w0_is_data_argmin():
-    r2, active, mask, idx, knn_mask = _random_problem(2)
+    r2, active, mask, adj = _random_problem(2)
     dcost = data_costs(r2, active, mask, 0.0, 4.0)
     labels0 = jnp.full((r2.shape[1],), r2.shape[0], jnp.int32)
-    labels, _ = icm_sweeps(dcost, labels0, idx, knn_mask, 0.0, 1)
+    labels, _ = icm_sweeps(dcost, labels0, adj, 0.0, 1)
     want = np.argmin(np.asarray(dcost), axis=0)
     np.testing.assert_array_equal(np.asarray(labels), want)
 
 
 def test_inactive_slots_never_selected():
-    r2, _, mask, idx, knn_mask = _random_problem(3)
+    r2, _, mask, adj = _random_problem(3)
     active = jnp.array([True, False, True])
     dcost = data_costs(r2, active, mask, 0.0, 4.0)
     labels0 = jnp.full((r2.shape[1],), 3, jnp.int32)
-    labels, _ = icm_sweeps(dcost, labels0, idx, knn_mask, 0.0, 4)
+    labels, _ = icm_sweeps(dcost, labels0, adj, 0.0, 4)
     assert not np.any(np.asarray(labels) == 1)

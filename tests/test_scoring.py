@@ -38,8 +38,10 @@ def test_scores_match_oracle():
             np.testing.assert_allclose(
                 np.asarray(pref), want_pref, rtol=1e-4, atol=1e-6
             )
-    # Inlier counts: r2 < trunc among masked points.
-    want_inl = ((r2 < trunc) & mask[None, :]).sum(-1)
+    # Inlier counts use the RAW threshold tau^2 = trunc / 2.25, matching
+    # the reference's validation against GC-RANSAC's tau-inliers
+    # (progressive_x.h:571-575).
+    want_inl = ((r2 < trunc / 2.25) & mask[None, :]).sum(-1)
     np.testing.assert_array_equal(np.asarray(inl), want_inl)
 
 
