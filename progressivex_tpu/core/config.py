@@ -39,7 +39,12 @@ class EngineConfig:
     # neighborhood mean is not meaningful (api.find6DPoses).
     # (GC-RANSAC analog: LO fires on every new best model during the
     # search; here the post-LO winner is selected, engine._proposal)
-    pearl_iters: int = 5  # PEARL alternations (labeling <-> refit)
+    pearl_iters: int = 3  # cap on PEARL alternations (labeling <-> refit).
+    # The loop is convergence-tested (|dE| + no-change, PEARL.h:463-467)
+    # and measured to converge in 2-3 alternations on the AdelaideRMF
+    # scenes (caps 3 and 5 give identical ME); the cap only bounds the
+    # worst case, and un-converged scenes continue in the next round's
+    # PEARL call.
     icm_sweeps: int = 8  # ICM sweeps per labeling call
     knn_k: int = 12  # neighbor count of the labeling (Potts) graph
     sampler_k: int = 48  # neighbor count for NAPSAC-style local sampling.

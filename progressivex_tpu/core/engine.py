@@ -47,7 +47,7 @@ from progressivex_tpu.core.config import (
 from progressivex_tpu.core.pearl import pearl_run
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
-from progressivex_tpu.ops.labeling import adjacency_from_knn
+from progressivex_tpu.ops.labeling import adjacency_from_knn, neighbor_mean
 from progressivex_tpu.ops.sampling import sample_minimal
 from progressivex_tpu.ops.scoring import (
     compound_penalized_scores,
@@ -101,7 +101,10 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
         knn_mask,
     )
     samples = data[idx]  # [B, m, d]
-    descs_h, valid_h = jax.vmap(family.minimal_solver)(samples)
+    if family.minimal_solver_batched is not None:
+        descs_h, valid_h = family.minimal_solver_batched(samples)
+    else:
+        descs_h, valid_h = jax.vmap(family.minimal_solver)(samples)
     bs = cfg.n_hypotheses * family.max_solutions
     descs_f = descs_h.reshape(bs, family.desc_dim)
     valid_f = (valid_h & samp_ok[:, None]).reshape(bs)
@@ -158,16 +161,12 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
     # progressive_x.h:71): a point's refit weight blends its own truncated
     # preference with its neighborhood mean, so coherent structures pull
     # boundary points in and isolated accidental inliers drop out.
-    deg = jnp.maximum(jnp.sum(adj.astype(data.dtype), axis=1), 1.0)
-
     lam = cfg.lo_spatial_lambda
 
     def spatial_weights(pref):
         if lam == 0.0:
             return pref
-        nb_mean = jnp.matmul(
-            adj, pref.astype(adj.dtype), preferred_element_type=data.dtype
-        ) / deg
+        nb_mean = neighbor_mean(adj, pref)
         return jnp.clip((1.0 - lam) * pref + lam * nb_mean, 0.0, 1.0)
 
     def lo_step(carry):

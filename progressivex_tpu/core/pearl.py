@@ -117,9 +117,12 @@ def pearl_run(
         # deletion per PEARL iteration (like sequential expansion), points
         # are re-assigned by data argmin over the survivors.
         dcost2 = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
-        n_pts = labels.shape[0]
-        chosen = jnp.take_along_axis(dcost2, labels[None, :], axis=0)[0]
-        excl = dcost2.at[labels, jnp.arange(n_pts)].set(1e18)
+        # One-hot [L, N] of the current labeling; mult-sum against it
+        # replaces per-point gathers/scatters over the label axis (L is
+        # tiny, the dense form vectorizes; TPU scatters do not).
+        own_oh = labels[None, :] == jnp.arange(k_slots + 1)[:, None]
+        chosen = jnp.sum(jnp.where(own_oh, dcost2, 0.0), axis=0)
+        excl = jnp.where(own_oh, _BIG_COST, dcost2)
         alt = jnp.min(excl, axis=0)
         alt_label = jnp.argmin(excl, axis=0).astype(labels.dtype)
         # EXACT group-move deletion test, evaluated for EVERY active label:
@@ -144,20 +147,27 @@ def pearl_run(
         slot_ids = jnp.arange(k_slots)
         onehot2 = labels[:, None] == slot_ids[None, :]
         data_delta = jnp.sum(jnp.where(onehot2, point_gain[:, None], 0.0), axis=0)
-        # Hypothetical labelings: labels_wo[k] = labels with slot k deleted.
-        labels_wo = jnp.where(
-            labels[None, :] == slot_ids[:, None], alt_label[None, :], labels[None, :]
-        )  # [K, N]
-        Yw = jax.nn.one_hot(labels_wo, k_slots + 1, dtype=adj.dtype)  # [K,N,L]
-        same_wo = jnp.einsum(
-            "nm,kml->knl", adj, Yw, preferred_element_type=jnp.float32
+        data_delta = jnp.where(active, data_delta, jnp.inf)
+        # The candidate is picked by the data margin alone (duplicates ~ 0
+        # < scattered pseudo-models ~ label_cost < real structures >> it,
+        # and deletion repeats every iteration so a mis-ordered runner-up
+        # is tested next); the exact Potts delta is then computed for THAT
+        # ONE candidate — one [N,N]@[N,L] matmul instead of K of them
+        # (the all-candidates einsum was ~8 ms/iteration, the single
+        # largest PEARL line item).
+        weakest = jnp.argmin(data_delta)
+        labels_wo = jnp.where(labels == weakest, alt_label, labels)
+        same_wo = labeling_ops.neighbor_label_counts(adj, labels_wo, k_slots + 1)
+        own_wo = jnp.sum(
+            jnp.where(labels_wo[None, :] == jnp.arange(k_slots + 1)[:, None],
+                      same_wo, 0.0),
+            axis=0,
         )
-        own_wo = jnp.take_along_axis(same_wo, labels_wo[:, :, None], axis=2)[..., 0]
-        deg = jnp.sum(adj.astype(jnp.float32), axis=1)
-        potts_wo = w * jnp.sum(deg[None, :] - own_wo, axis=1)  # [K]
         same_now = labeling_ops.neighbor_label_counts(adj, labels, k_slots + 1)
-        own_now = jnp.take_along_axis(same_now, labels[None, :], axis=0)[0]
-        potts_now = w * jnp.sum(deg - own_now)
+        own_now = jnp.sum(jnp.where(own_oh, same_now, 0.0), axis=0)
+        # deg cancels in the difference: potts_wo - potts_now =
+        # w * (sum(own_now) - sum(own_wo)).
+        potts_delta = w * (jnp.sum(own_now) - jnp.sum(own_wo))
         # Only Potts SAVINGS count toward deletion. A negative delta is
         # real: a scattered pseudo-model's stragglers rejoin their
         # neighbors' label and mismatches vanish. A positive delta is an
@@ -167,11 +177,9 @@ def pearl_run(
         # partial models (measured: fundamental-matrix scenes fragmented
         # into 3-4 partial instances that each "cost too much Potts" to
         # delete).
-        gains = data_delta + jnp.minimum(0.0, potts_wo - potts_now)
-        gains = jnp.where(active, gains, jnp.inf)
-        weakest = jnp.argmin(gains)
-        label_cost = params.min_inliers.astype(gains.dtype)
-        do_delete = gains[weakest] < label_cost
+        gain = data_delta[weakest] + jnp.minimum(0.0, potts_delta)
+        label_cost = params.min_inliers.astype(gain.dtype)
+        do_delete = gain < label_cost
         active = active & ~(do_delete & (jnp.arange(k_slots) == weakest))
 
         counts2 = jnp.sum(

@@ -49,6 +49,13 @@ class ModelFamily:
     nonminimal_solver: Callable
     squared_residual: Callable
     refine_solver: Callable | None = None
+    minimal_solver_batched: Callable | None = None
+    # Optional hand-batched minimal solver ([B, m, d] -> ([B, S, D],
+    # [B, S])). When present, the engine uses it instead of
+    # vmap(minimal_solver): solvers built on tiny unrolled eliminations
+    # should keep the hypothesis batch on the vector lanes (see
+    # ops/linalg.gauss_jordan_solve_lanes), which vmap's batch-leading
+    # layout cannot express.
 
     def refit(self, data, weights, init_desc):
         """Warm-started non-minimal fit: refine_solver when the family has

@@ -79,10 +79,12 @@ def data_costs(sq_residuals, active, point_mask, spatial_weight, trunc_sq):
 
 
 def _adj_dtype():
-    """bf16 on TPU (half the HBM traffic for the big A operand; counts are
-    small integers so bf16 x bf16 -> f32 accumulation is exact). The CPU
-    backend used in tests lacks that dot kernel, so f32 there."""
-    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    """int8 on TPU: every Potts histogram is an adj @ one-hot matmul whose
+    cost is HBM-bound on reading A, and the MXU's s8 x s8 -> s32 path is
+    both exact (counts <= k) and ~1.75x faster than bf16 at this shape
+    (measured). The CPU backend used in tests lacks the narrow dot
+    kernels, so plain f32 there."""
+    return jnp.int8 if jax.default_backend() == "tpu" else jnp.float32
 
 
 def adjacency_from_knn(knn_idx, knn_mask, chunk: int = 512):
@@ -111,8 +113,25 @@ def neighbor_label_counts(adj, labels, num_labels: int):
     """[L, N]: for each label l and point n, how many of n's neighbors
     currently carry label l — one adjacency matmul on the MXU."""
     Y = jax.nn.one_hot(labels, num_labels, dtype=adj.dtype)  # [N, L]
-    counts = jnp.matmul(adj, Y, preferred_element_type=jnp.float32)
-    return counts.T  # [L, N]
+    acc = jnp.int32 if adj.dtype == jnp.int8 else jnp.float32
+    counts = jnp.matmul(adj, Y, preferred_element_type=acc)
+    return counts.astype(jnp.float32).T  # [L, N]
+
+
+def neighbor_mean(adj, values):
+    """Mean of `values` over each point's neighbors: (A @ v) / deg, [N].
+
+    With an int8 adjacency the float payload is quantized to int8 (values
+    must lie in [0, 1]; ~1% quantization error, irrelevant for IRLS
+    weights) so the matvec stays on the fast integer MXU path.
+    """
+    deg = jnp.maximum(jnp.sum(adj.astype(jnp.float32), axis=1), 1.0)
+    if adj.dtype == jnp.int8:
+        q = jnp.clip(jnp.round(values * 127.0), 0, 127).astype(jnp.int8)
+        s = jnp.matmul(adj, q, preferred_element_type=jnp.int32)
+        return s.astype(jnp.float32) / (127.0 * deg)
+    s = jnp.matmul(adj, values.astype(adj.dtype), preferred_element_type=jnp.float32)
+    return s.astype(jnp.float32) / deg
 
 
 def _local_costs(dcost, labels, adj, deg, spatial_weight):

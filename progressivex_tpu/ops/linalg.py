@@ -281,6 +281,75 @@ def gauss_jordan_solve(M: jax.Array, B: jax.Array):
     return (P @ A)[:, n:]
 
 
+def gauss_jordan_solve_lanes(M: jax.Array, B: jax.Array):
+    """Batched Gauss-Jordan in LANES-MAJOR layout: the batch axis is LAST.
+
+    Identical math to `gauss_jordan_solve`, but for thousands of tiny
+    systems at once. With the conventional [batch, n, n] layout XLA puts
+    the length-n axis on the 128 vector lanes (<10% utilization for n <=
+    9) and every unrolled elimination step runs at that efficiency —
+    measured ~68 ms for 24k 8x9 systems on a v5e. Keeping the batch on
+    the trailing axis makes every elimination step a full-width
+    elementwise op over the batch.
+
+    Args:
+      M: [n, n, B]; B: [n, r, B].
+    Returns:
+      X [n, r, B] (garbage for singular systems — callers must validate).
+    """
+    n = M.shape[0]
+    A = jnp.concatenate([M, B], axis=1)  # [n, n+r, Bt]
+    bt = A.shape[2]
+    used = jnp.zeros((n, bt), A.dtype)
+    perm = []  # perm[i]: one-hot [n, Bt] of step i's pivot row
+    for i in range(n):
+        col = jnp.abs(A[:, i, :]) - used * _BIG  # [n, Bt]
+        p_onehot = jax.nn.one_hot(jnp.argmax(col, axis=0), n, dtype=A.dtype).T
+        pivot_row = jnp.einsum("nb,ncb->cb", p_onehot, A)  # [n+r, Bt]
+        piv = pivot_row[i]
+        piv = jnp.where(jnp.abs(piv) > _EPS, piv, _EPS)
+        pivot_row = pivot_row / piv
+        factors = A[:, i, :] * (1.0 - p_onehot)  # [n, Bt]
+        A = A - factors[:, None, :] * pivot_row[None, :, :]
+        A = (
+            A * (1.0 - p_onehot)[:, None, :]
+            + p_onehot[:, None, :] * pivot_row[None, :, :]
+        )
+        perm.append(p_onehot)
+        used = used + p_onehot
+    P = jnp.stack(perm)  # [n, n, Bt]
+    return jnp.einsum("inb,ncb->icb", P, A)[:, n:, :]
+
+
+def nullspace_exact_lanes(A: jax.Array, n_free: int):
+    """Lanes-major batched `nullspace_exact`.
+
+    Args:
+      A: [m, m + n_free, B] stacked minimal systems, batch LAST.
+    Returns:
+      (basis [n_free, m + n_free, B], valid [B] bool).
+    """
+    m = A.shape[0]
+    M = A[:, :m, :]
+    B = -A[:, m:, :]
+    X = gauss_jordan_solve_lanes(M, B)  # [m, n_free, Bt]
+    eye = jnp.eye(n_free, dtype=A.dtype)[:, :, None] * jnp.ones(
+        (1, 1, A.shape[2]), A.dtype
+    )
+    basis = jnp.concatenate([X, eye], axis=0)  # [m+f, f, Bt]
+    basis = jnp.swapaxes(basis, 0, 1)  # [f, m+f, Bt]
+    norm = jnp.sqrt(jnp.sum(basis * basis, axis=1, keepdims=True))
+    basis = basis / jnp.maximum(norm, _EPS)
+    # Validate (as in nullspace_exact): normalized basis rows must
+    # annihilate A.
+    resid = jnp.einsum("mcb,fcb->fmb", A, basis)
+    scale = jnp.maximum(jnp.max(jnp.abs(A), axis=(0, 1)), 1.0)  # [Bt]
+    valid = jnp.isfinite(basis).all(axis=(0, 1)) & (
+        jnp.max(jnp.abs(resid), axis=(0, 1)) < 1e-3 * scale
+    )
+    return basis, valid
+
+
 def nullspace_exact(A: jax.Array, n_free: int):
     """Null-space basis of an [m, m + n_free] exact minimal system.
 
