@@ -46,6 +46,10 @@ from progressivex_tpu.models import get_family
 
 _PAD = 128  # pad point counts to a lane-width multiple
 _MAX_HYP = 2048
+# The flattened hypothesis axis (n_hypotheses * family.max_solutions) is
+# additionally capped: programs with a >4096 hypothesis axis reliably
+# SIGABRT the TPU compiler (empirical boundary between 4096 and 4608).
+_MAX_HYP_FLAT = 4096
 _UNLIMITED = 10**9
 
 
@@ -67,8 +71,9 @@ def _pad_to(n: int) -> int:
     return max(_PAD, -(-n // _PAD) * _PAD)
 
 
-def _hyp_budget(max_iters: int) -> int:
-    return int(min(max(int(max_iters), 64), _MAX_HYP))
+def _hyp_budget(max_iters: int, max_solutions: int = 1) -> int:
+    return int(min(max(int(max_iters), 64), _MAX_HYP,
+                   _MAX_HYP_FLAT // max(max_solutions, 1)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -122,7 +127,7 @@ def _run(
 
     cfg = EngineConfig(
         family=family_name,
-        n_hypotheses=_hyp_budget(max_iters),
+        n_hypotheses=_hyp_budget(max_iters, get_family(family_name).max_solutions),
         sampler_id=int(sampler_id),
         lo_spatial_lambda=lo_spatial_lambda,
     )

@@ -79,27 +79,16 @@ class FitResult(NamedTuple):
     rounds_run: jnp.ndarray  # int32
 
 
-def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
-              adj, compound_pref, has_compound, key):
+def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
+              adj, compound_pref, has_compound):
     """One batched proposal + spatially-coherent IRLS local optimization.
+
+    `idx`/`samp_ok` are this round's PRESAMPLED minimal-sample indices
+    (drawn for all rounds at once in `fit` — see the note there).
 
     Returns (desc [D], score, valid, sq_residuals [N]).
     """
     trunc_sq = truncated_sq_threshold(params.threshold)
-    if cfg.hyp_axis is not None:
-        # Hypothesis parallelism: every device along the axis draws its own
-        # batch (decorrelated key) and the best proposal is reduced below.
-        key = jax.random.fold_in(key, lax.axis_index(cfg.hyp_axis))
-    idx, samp_ok = sample_minimal(
-        key,
-        cfg.sampler_id,
-        cfg.n_hypotheses,
-        family.sample_size,
-        pmask,
-        params.n_valid,
-        knn_idx,
-        knn_mask,
-    )
     samples = data[idx]  # [B, m, d]
     if family.minimal_solver_batched is not None:
         descs_h, valid_h = family.minimal_solver_batched(samples)
@@ -220,19 +209,19 @@ def _proposal(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
     return desc, score, valid, r2_best
 
 
-def _round(family, cfg, params, data, pmask, pweights, knn_idx, knn_mask, adj,
+def _round(family, cfg, params, data, pmask, pweights, idx, samp_ok, adj,
            state):
     """One propose -> validate -> optimize -> update -> terminate round."""
     k_slots = cfg.max_models
     outlier_label = jnp.int32(k_slots)
     trunc_sq = truncated_sq_threshold(params.threshold)
-    key, k_prop = jax.random.split(state.key)
+    key = state.key
     has_compound = jnp.any(state.active)
 
     # --- proposal (GC-RANSAC replacement) ---
     desc, score, prop_valid, r2_best = _proposal(
-        family, cfg, params, data, pmask, pweights, knn_idx, knn_mask,
-        adj, state.compound_pref, has_compound, k_prop,
+        family, cfg, params, data, pmask, pweights, idx, samp_ok,
+        adj, state.compound_pref, has_compound,
     )
 
     # --- validation (progressive_x.h:565-591) ---
@@ -353,6 +342,26 @@ def fit(
     # ops/labeling.py hardware note).
     adj = adjacency_from_knn(knn_idx, knn_mask)
 
+    # PRESAMPLE every round's minimal-sample indices before the loop. Two
+    # reasons: (a) sampling is pure index generation with no dependence on
+    # the loop state, so hoisting it batches all rounds' RNG into one call;
+    # (b) consuming the kNN tables INSIDE the round while_loop triggers an
+    # XLA TPU memory-space-assignment compiler crash ("Check failed:
+    # memory_space == existing_required_assignment->memory_space") on some
+    # scene-vmapped programs — hoisting the only consumer out of the loop
+    # sidesteps it. The loop body then runs RNG-free.
+    if cfg.hyp_axis is not None:
+        # Hypothesis parallelism: every device along the axis draws its
+        # own batch (decorrelated key); the winner reduces in _proposal.
+        key = jax.random.fold_in(key, lax.axis_index(cfg.hyp_axis))
+    round_keys = jax.random.split(key, cfg.max_rounds)
+    idx_all, ok_all = jax.vmap(
+        lambda k: sample_minimal(
+            k, cfg.sampler_id, cfg.n_hypotheses, family.sample_size,
+            point_mask, params.n_valid, samp_idx, samp_mask,
+        )
+    )(round_keys)  # [R, B, m], [R, B]
+
     state = FitState(
         key=key,
         descs=jnp.zeros((k_slots, family.desc_dim), data.dtype),
@@ -380,9 +389,11 @@ def fit(
 
     def body(carry):
         state, rounds = carry
+        idx = lax.dynamic_index_in_dim(idx_all, rounds, keepdims=False)
+        samp_ok = lax.dynamic_index_in_dim(ok_all, rounds, keepdims=False)
         new_state, _ = _round(
             family, cfg, params, data, point_mask, point_weights,
-            samp_idx, samp_mask, adj, state,
+            idx, samp_ok, adj, state,
         )
         # Freeze lanes that were already done (only reachable under vmap's
         # masked execution; scalar jit exits the loop instead).

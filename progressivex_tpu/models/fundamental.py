@@ -96,10 +96,13 @@ def _nonminimal(data, weights):
     M = A.T @ A
     f = smallest_eigvec_psd(M)
     Fn = f.reshape(3, 3)
-    # Enforce rank 2: zero out the smallest singular value.
-    U, S, Vt = jnp.linalg.svd(Fn)
-    S = S.at[2].set(0.0)
-    Fn = (U * S[None, :]) @ Vt
+    # Enforce rank 2 by subtracting the smallest singular triplet:
+    # F - sigma3 u3 v3^T with v3 the smallest eigenvector of F^T F and
+    # sigma3 u3 = F v3. Exact and closed-form — jnp.linalg.svd lowers to a
+    # large iterative TPU computation that (vmapped inside the PEARL loops)
+    # pushed whole scene-batched programs over the TPU compiler's limits.
+    v3 = smallest_eigvec_psd(Fn.T @ Fn)
+    Fn = Fn - jnp.outer(Fn @ v3, v3)
     F = _denormalize(Fn, T1, T2)
     valid = jnp.isfinite(F).all() & (jnp.sum(weights > 0) >= 8)
     return F.reshape(9), valid

@@ -80,8 +80,8 @@ def napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mask):
     centers = jax.random.randint(
         k_center, (n_hyp,), 0, jnp.maximum(n_valid, 1)
     ).astype(jnp.int32)
-    nbr_ids = knn_idx[centers]  # [B, K] — small gather, B*K elements
-    nbr_ok = knn_mask[centers]  # [B, K]
+    nbr_ids = knn_idx[centers]  # [B, K]
+    nbr_ok = knn_mask[centers]
     # Choose m-1 distinct neighbors: Gumbel top-k over the tiny K axis.
     g = jax.random.gumbel(k_nbr, nbr_ok.shape) + jnp.where(nbr_ok, 0.0, _NEG)
     vals, pick = lax.top_k(g, m - 1)
