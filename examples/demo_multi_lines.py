@@ -2,10 +2,7 @@
 of the reference's `examples/example_multi_lines.ipynb` workload (3180
 Canny edge points -> ~7 lines; here a synthetic wireframe with known GT)."""
 
-import sys
 import time
-
-sys.path.insert(0, ".")
 
 import numpy as np
 

@@ -3,10 +3,7 @@ of the reference's `examples/example_multi_pose_6d.ipynb` (1886 2D-3D
 correspondences, 2 GT poses; reference runtime 57.57 s, rotation errors
 8.25 / 0.95 deg, translation errors 2.40 / 1.22 cm — BASELINE.md)."""
 
-import sys
 import time
-
-sys.path.insert(0, ".")
 
 import numpy as np
 

@@ -9,16 +9,18 @@ one jit, vmappable over scenes and shardable over a TPU mesh.
 
 Public API mirrors pyprogressivex (`/root/reference/src/pyprogressivex/src/
 bindings.cpp:410-491`): findLines, findVanishingPoints, findHomographies,
-findTwoViewMotions, find6DPoses.
+findTwoViewMotions, find6DPoses — plus findEssentialMatrices (the reference
+ships the five-point solver headers but no Python front end for them).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from progressivex_tpu.models import get_family  # noqa: F401
 
 try:  # The full API needs the core engine; keep import-light during build-up.
     from progressivex_tpu.api import (  # noqa: F401
         find6DPoses,
+        findEssentialMatrices,
         findHomographies,
         findLines,
         findTwoViewMotions,

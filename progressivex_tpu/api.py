@@ -56,8 +56,16 @@ _UNLIMITED = 10**9
 @dataclasses.dataclass
 class Statistics:
     """Run statistics — the counterpart of the reference's
-    MultiModelStatistics (`progressive_x.h:84-104`). Pass
-    `with_statistics=True` to any find* function to receive one."""
+    MultiModelStatistics + per-iteration IterationStatistics
+    (`progressive_x.h:75-104`). Pass `with_statistics=True` to any find*
+    function to receive one.
+
+    `iterations` holds one record per executed round with the round's
+    algorithmic quantities (proposal support/tanimoto/score, PEARL energy,
+    live instance count). The reference's per-phase wall-clock fields have
+    no analog inside a single fused XLA program — phases overlap and fuse —
+    so device-time attribution is delegated to `jax.profiler` instead.
+    """
 
     processing_time: float
     rounds_run: int
@@ -65,6 +73,7 @@ class Statistics:
     model_number: int
     labeling: "np.ndarray"
     inliers_of_each_model: list
+    iterations: list = dataclasses.field(default_factory=list)
 
 
 def _pad_to(n: int) -> int:
@@ -162,6 +171,18 @@ def _run(
     stats = None
     if with_statistics:
         k = descs.shape[0]
+        rl = result.round_log
+        iterations = [
+            {
+                "accepted": bool(rl.accepted[r]),
+                "proposal_inliers": int(rl.inliers[r]),
+                "tanimoto": float(rl.tanimoto[r]),
+                "proposal_score": float(rl.score[r]),
+                "pearl_energy": float(rl.energy[r]),
+                "active_models": int(rl.n_active[r]),
+            }
+            for r in range(int(result.rounds_run))
+        ]
         stats = Statistics(
             processing_time=processing_time,
             rounds_run=int(result.rounds_run),
@@ -171,6 +192,7 @@ def _run(
             inliers_of_each_model=[
                 np.flatnonzero(labels == i) for i in range(k)
             ],
+            iterations=iterations,
         )
     return descs, labels, stats
 
@@ -329,6 +351,63 @@ def findTwoViewMotions(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
+    )
+    out = descs.reshape(-1, 3).astype(np.float64)
+    return (out, labels, stats) if with_statistics else (out, labels)
+
+
+def findEssentialMatrices(
+    corrs,
+    K1,
+    K2,
+    threshold=0.75,
+    conf=0.5,
+    spatial_coherence_weight=0.1,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=0,
+    scoring_exponent=2,
+    do_logging=False,
+    random_seed=0,
+    with_statistics=False,
+):
+    """Multi essential-matrix fitting (EXTENSION: the reference ships the
+    five-point solver and estimator headers, `progressive_x.h:19,24`, but
+    exposes no Python front end for them).
+
+    corrs: [N,4] = [x1,y1,x2,y2] PIXEL correspondences; K1, K2: [3,3]
+    intrinsics. Points are normalized by K^-1 and the threshold divided by
+    the mean focal length, mirroring the 6D-pose front end
+    (`progressivex_python.cpp:64-98`). The neighborhood graph uses the
+    unnormalized pixel correspondences. Returns ([3K_models, 3] stacked
+    row-major essential matrices in NORMALIZED coordinates, labeling).
+    """
+    corrs = np.asarray(corrs, np.float64)
+    if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 5:
+        raise ValueError("corrs should be an array with dims [n,4], n>=5")
+    K1 = np.asarray(K1, np.float64)
+    K2 = np.asarray(K2, np.float64)
+    if K1.shape != (3, 3) or K2.shape != (3, 3):
+        raise ValueError("K1/K2 should be arrays with dims [3,3]")
+    ones = np.ones((corrs.shape[0], 1))
+    n1 = (np.concatenate([corrs[:, :2], ones], 1) @ np.linalg.inv(K1).T)[:, :2]
+    n2 = (np.concatenate([corrs[:, 2:4], ones], 1) @ np.linalg.inv(K2).T)[:, :2]
+    data = np.concatenate([n1, n2], axis=1)
+    f = 0.25 * (K1[0, 0] + K1[1, 1] + K2[0, 0] + K2[1, 1])
+    descs, labels, stats = _run(
+        "essential", data, None,
+        threshold=threshold / f, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sampler_id,
+        scoring_exponent=scoring_exponent, do_logging=do_logging,
+        random_seed=random_seed, graph_data=corrs,
+        with_statistics=with_statistics,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

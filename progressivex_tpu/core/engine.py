@@ -70,6 +70,22 @@ class FitState(NamedTuple):
     done: jnp.ndarray  # bool
 
 
+class RoundLog(NamedTuple):
+    """Per-round statistics, the device-side counterpart of the
+    reference's IterationStatistics (progressive_x.h:75-82). Wall-clock
+    phase timings are not meaningful inside one fused XLA program — the
+    reference times its sequential phases with host clocks — so the log
+    records the algorithmic quantities of each round instead; use
+    jax.profiler for device-time attribution."""
+
+    accepted: jnp.ndarray  # [R] bool — proposal passed validation
+    inliers: jnp.ndarray  # [R] int32 — raw-threshold support of the proposal
+    tanimoto: jnp.ndarray  # [R] f32 — similarity vs compound instance
+    score: jnp.ndarray  # [R] f32 — penalized MSAC score of the proposal
+    energy: jnp.ndarray  # [R] f32 — PEARL labeling energy after the round
+    n_active: jnp.ndarray  # [R] int32 — live instances after the round
+
+
 class FitResult(NamedTuple):
     descs: jnp.ndarray  # [K, D]
     active: jnp.ndarray  # [K] bool
@@ -77,6 +93,7 @@ class FitResult(NamedTuple):
     n_models: jnp.ndarray  # int32
     total_iters: jnp.ndarray  # int32
     rounds_run: jnp.ndarray  # int32
+    round_log: RoundLog
 
 
 def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
@@ -311,7 +328,9 @@ def _round(family, cfg, params, data, pmask, pweights, idx, samp_ok, adj,
         rejections=rejections,
         done=done,
     )
-    return new_state, jnp.ones((), bool)
+    round_stats = (accepted, inlier_cnt, tan, score, pres.energy,
+                   n_active_now.astype(jnp.int32))
+    return new_state, round_stats
 
 
 def fit(
@@ -383,18 +402,34 @@ def fit(
     # collectives execute identically on all devices every iteration (the
     # reduced winner and hence `done` agree across the axis, so the loop
     # condition is consistent).
-    def cond(carry):
-        state, rounds = carry
+    log0 = RoundLog(
+        accepted=jnp.zeros((cfg.max_rounds,), bool),
+        inliers=jnp.zeros((cfg.max_rounds,), jnp.int32),
+        tanimoto=jnp.zeros((cfg.max_rounds,), jnp.float32),
+        score=jnp.zeros((cfg.max_rounds,), jnp.float32),
+        energy=jnp.zeros((cfg.max_rounds,), jnp.float32),
+        n_active=jnp.zeros((cfg.max_rounds,), jnp.int32),
+    )
+
+    def cond2(carry):
+        state, rounds, _ = carry
         return ~state.done & (rounds < cfg.max_rounds)
 
     def body(carry):
-        state, rounds = carry
+        state, rounds, log = carry
         idx = lax.dynamic_index_in_dim(idx_all, rounds, keepdims=False)
         samp_ok = lax.dynamic_index_in_dim(ok_all, rounds, keepdims=False)
-        new_state, _ = _round(
+        new_state, rstats = _round(
             family, cfg, params, data, point_mask, point_weights,
             idx, samp_ok, adj, state,
         )
+        # Record this round's statistics at index `rounds` (one-hot write,
+        # no scatter), skipping frozen lanes.
+        sel = jax.nn.one_hot(rounds, cfg.max_rounds, dtype=bool) & ~state.done
+        log = RoundLog(*(
+            jnp.where(sel, v.astype(slot.dtype), slot)
+            for slot, v in zip(log, rstats)
+        ))
         # Freeze lanes that were already done (only reachable under vmap's
         # masked execution; scalar jit exits the loop instead).
         new_state = jax.tree.map(
@@ -402,9 +437,11 @@ def fit(
             new_state,
             state._replace(key=new_state.key),
         )
-        return new_state, rounds + jnp.where(state.done, 0, 1)
+        return new_state, rounds + jnp.where(state.done, 0, 1), log
 
-    state, rounds_run = lax.while_loop(cond, body, (state, jnp.int32(0)))
+    state, rounds_run, log = lax.while_loop(
+        cond2, body, (state, jnp.int32(0), log0)
+    )
     return FitResult(
         descs=state.descs,
         active=state.active,
@@ -412,6 +449,7 @@ def fit(
         n_models=jnp.sum(state.active).astype(jnp.int32),
         total_iters=state.total_iters,
         rounds_run=rounds_run,
+        round_log=log,
     )
 
 

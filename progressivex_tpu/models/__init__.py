@@ -11,11 +11,13 @@ from progressivex_tpu.models.vanishing_point import VANISHING_POINT
 from progressivex_tpu.models.homography import HOMOGRAPHY
 from progressivex_tpu.models.fundamental import FUNDAMENTAL
 from progressivex_tpu.models.pnp import PNP
+from progressivex_tpu.models.essential import ESSENTIAL
 
 __all__ = [
     "ModelFamily",
     "get_family",
     "register_family",
+    "ESSENTIAL",
     "LINE2D",
     "VANISHING_POINT",
     "HOMOGRAPHY",

@@ -1,0 +1,297 @@
+"""Essential-matrix family: data row = [x1, y1, x2, y2] in CALIBRATED
+(normalized) image coordinates, descriptor = flattened 3x3 E (row-major)
+with x2^T E x1 = 0 and equal non-zero singular values.
+
+Reference parity: the reference ships the five-point Stewenius solver and
+essential estimator headers (`/root/reference/src/pyprogressivex/include/
+progressive_x.h:19,24` name `estimator_essential_matrix.h` and
+`solver_essential_matrix_five_point_stewenius.h`) but exposes no Python
+front end; this module provides the same family as a first-class citizen
+(SURVEY.md section 2.2, the one solver family with no round-1 counterpart).
+
+TPU-first design of the five-point minimal solver. The classical routes
+need double precision: Stewenius's action-matrix eigendecomposition loses
+the solutions in f32 (the fixed quotient-basis reduction has condition
+numbers up to 1e8 on real data — measured), and degree-10 characteristic
+polynomials are hopeless in f32 outright. The design below stays accurate
+in f32 and is batched end to end:
+
+  1. The 4-D null space of the 5x9 epipolar system by unrolled
+     Gauss-Jordan (ops/linalg.nullspace_exact): E(q) = sum_k q_k Ek with
+     q in R^4 homogeneous.
+  2. The ten Demazure constraints (det E = 0 and
+     2 E E^T E - tr(E E^T) E = 0) are HOMOGENEOUS CUBICS in q. Their
+     10 x 20 coefficient matrix over all degree-3 monomials in q is
+     extracted by exact polynomial interpolation: evaluate at 20 fixed
+     unit-sphere nodes and multiply by a precomputed inverse Vandermonde
+     chosen with cond ~ 50 (a compile-time f64-accurate constant), so the
+     coefficients keep ~5 of f32's 7 digits.
+  3. Solutions are the zeros of the cubic system on the unit sphere S^3.
+     They are found by MULTI-START tangent-space Gauss-Newton: 64 fixed
+     unit-sphere starts, 16 damped steps each, with the radial direction
+     (a structural Jacobian null direction at any root, by Euler's
+     relation for homogeneous polynomials) projected out of every step.
+     Converged, residual-validated points are greedily deduplicated into
+     at most 10 solutions (the algebraic solution count).
+
+Per-sample recovery of the ground-truth solution from noise-free minimal
+samples is ~70% in f32 (the remaining basins are missed by the start set);
+a RANSAC engine drawing hundreds of samples per round absorbs this as a
+~1.4x effective sample-count cost, unlike the eigendecomposition route
+whose failures were systematic.
+
+The non-minimal refit is the weighted eight-point solve projected onto
+the essential manifold without ever decomposing the (degenerate at the
+manifold) leading singular pair — see _project_essential.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations_with_replacement
+
+import numpy as _np
+
+import jax
+import jax.numpy as jnp
+
+from progressivex_tpu.models.base import ModelFamily, register_family
+from progressivex_tpu.ops.linalg import (
+    gauss_jordan_solve,
+    nullspace_exact,
+    smallest_eigvec_psd,
+)
+
+_EPS = 1e-12
+_N_STARTS = 64
+_N_GN = 16
+_MAX_SOL = 10
+
+# ---------------------------------------------------------------------------
+# Static setup (f64 NumPy at import time; constants inside the jit).
+# All 20 homogeneous degree-3 monomials in q = (q0, q1, q2, q3).
+_MONOMIALS = []
+for _combo in combinations_with_replacement(range(4), 3):
+    _e = [0, 0, 0, 0]
+    for _c in _combo:
+        _e[_c] += 1
+    _MONOMIALS.append(tuple(_e))
+assert len(_MONOMIALS) == 20
+
+
+def _interp_setup():
+    """Unit-sphere interpolation nodes minimizing cond(V): the condition
+    number of this 20x20 matrix bounds how many f32 digits survive the
+    coefficient extraction (a careless draw costs everything)."""
+    rng = _np.random.default_rng(3)
+    best = (_np.inf, None, None)
+    for _ in range(3000):
+        pts = rng.normal(size=(20, 4))
+        pts /= _np.linalg.norm(pts, axis=1, keepdims=True)
+        V = _np.stack([
+            _np.prod(pts ** _np.array(m, dtype=_np.float64), axis=1)
+            for m in _MONOMIALS
+        ], axis=1)
+        c = _np.linalg.cond(V)
+        if c < best[0]:
+            best = (c, pts, _np.linalg.inv(V))
+        if c < 80.0:
+            break
+    return best[1], best[2]
+
+
+_PTS_NP, _VINV_NP = _interp_setup()
+_PTS = jnp.asarray(_PTS_NP, jnp.float32)  # [20, 4]
+_VINV_T = jnp.asarray(_VINV_NP.T, jnp.float32)  # coeff = val @ VINV^T
+
+_STARTS_NP = _np.random.default_rng(42).normal(size=(_N_STARTS, 4))
+_STARTS_NP /= _np.linalg.norm(_STARTS_NP, axis=1, keepdims=True)
+_STARTS = jnp.asarray(_STARTS_NP, jnp.float32)
+
+
+def _constraints(E):
+    """The ten Demazure constraints of an essential matrix. E: [3, 3] ->
+    [10] (det + the trace-constraint matrix, row-major)."""
+    det = jnp.linalg.det(E)
+    EEt = E @ E.T
+    C = 2.0 * (EEt @ E) - jnp.trace(EEt) * E
+    return jnp.concatenate([det[None], C.reshape(9)])
+
+
+def _mono_jac(q):
+    """Monomial vector [20] and Jacobian [20, 4] at q (static exponents,
+    powers unroll exactly; e=0 derivative hard-set to 0)."""
+    def pw(v, e):
+        out = jnp.ones_like(v)
+        for _ in range(e):
+            out = out * v
+        return out
+
+    vals, grads = [], [[] for _ in range(4)]
+    for m in _MONOMIALS:
+        vals.append(pw(q[0], m[0]) * pw(q[1], m[1]) * pw(q[2], m[2])
+                    * pw(q[3], m[3]))
+        for d in range(4):
+            if m[d] == 0:
+                grads[d].append(0.0 * q[0])
+            else:
+                e = list(m)
+                e[d] -= 1
+                grads[d].append(m[d] * pw(q[0], e[0]) * pw(q[1], e[1])
+                                * pw(q[2], e[2]) * pw(q[3], e[3]))
+    return jnp.stack(vals), jnp.stack([jnp.stack(g) for g in grads], axis=1)
+
+
+def _minimal(samples):
+    """Five-point solver. samples: [5, 4] -> ([10, 9], [10] bool)."""
+    dtype = samples.dtype
+    x1, y1 = samples[:, 0], samples[:, 1]
+    x2, y2 = samples[:, 2], samples[:, 3]
+    o = jnp.ones_like(x1)
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1
+    )  # [5, 9]
+    basis, ns_ok = nullspace_exact(A, 4)  # [4, 9]
+    Es = basis.reshape(4, 3, 3)
+
+    # 10x20 homogeneous-cubic coefficient matrix by interpolation.
+    vals = jax.vmap(
+        lambda q: _constraints(jnp.einsum("k,kij->ij", q, Es))
+    )(_PTS)  # [20 nodes, 10 constraints]
+    M = (vals.T @ _VINV_T).astype(dtype)  # [10, 20]
+
+    def gn(q0):
+        q = q0
+        for _ in range(_N_GN):
+            m, J20 = _mono_jac(q)
+            r = M @ m
+            J = M @ J20  # [10, 4]
+            # Project out the radial direction: J q = 3 r (Euler), so at a
+            # root the Jacobian is structurally singular along q and the
+            # raw normal equations blow the step up.
+            Jt = J - jnp.outer(J @ q, q)
+            H = Jt.T @ Jt + 1e-9 * jnp.eye(4, dtype=dtype)
+            d = gauss_jordan_solve(H, (Jt.T @ r)[:, None])[:, 0]
+            d = d - (d @ q) * q
+            q = q - d
+            q = q / jnp.maximum(jnp.linalg.norm(q), _EPS)
+        m, _ = _mono_jac(q)
+        return q, jnp.linalg.norm(M @ m)
+
+    qs, res = jax.vmap(gn)(_STARTS)  # [S, 4], [S]
+    converged = res < 1e-4
+
+    # Greedy dedupe into _MAX_SOL solutions (antipodal points are the same
+    # solution, so compare |q . q'|).
+    score = jnp.where(converged, res, jnp.inf)
+    out_q, out_ok = [], []
+    for _ in range(_MAX_SOL):
+        i = jnp.argmin(score)
+        ok = jnp.isfinite(score[i])
+        q = qs[i]
+        out_q.append(q)
+        out_ok.append(ok)
+        dup = jnp.abs(qs @ q) > 0.999
+        score = jnp.where(dup, jnp.inf, score)
+    Q = jnp.stack(out_q)  # [10, 4]
+    okv = jnp.stack(out_ok)
+
+    Esol = jnp.einsum("sk,kij->sij", Q, Es)
+    nrm = jnp.sqrt(jnp.sum(Esol * Esol, axis=(1, 2)))
+    Esol = Esol / jnp.maximum(nrm, _EPS)[:, None, None]
+    epip = jax.vmap(
+        lambda E: jnp.max(jnp.abs(jnp.einsum(
+            "ni,ij,nj->n",
+            jnp.stack([x2, y2, o], -1), E, jnp.stack([x1, y1, o], -1),
+        )))
+    )(Esol)
+    valid = okv & ns_ok & jnp.isfinite(Esol).all(axis=(1, 2)) & (epip < 1e-3)
+    return Esol.reshape(_MAX_SOL, 9), valid
+
+
+def _complement_basis(v):
+    """Orthonormal basis [3, 2] of the plane orthogonal to unit vector v."""
+    t = jax.nn.one_hot(jnp.argmin(jnp.abs(v)), 3, dtype=v.dtype)
+    a = t - (t @ v) * v
+    a = a / jnp.maximum(jnp.linalg.norm(a), _EPS)
+    b = jnp.cross(v, a)
+    return jnp.stack([a, b], axis=1)
+
+
+def _project_essential(E):
+    """Nearest essential matrix (equal leading singular values, zero
+    smallest) WITHOUT decomposing the degenerate leading singular pair:
+    for inputs at or near the essential manifold the top two singular
+    values coincide and any eigenvector-based route for them is
+    numerically undefined (this exact failure collapsed refits to rank 1).
+    Only the SMALLEST singular pair — well separated by ~sigma/2 — is
+    extracted (inverse iteration); the leading part is handled as a 2x2
+    block in the complements, whose polar factor and singular-value sum
+    have closed forms."""
+    v3 = smallest_eigvec_psd(E.T @ E)
+    u3 = smallest_eigvec_psd(E @ E.T)
+    Bv = _complement_basis(v3)  # [3, 2]
+    Bu = _complement_basis(u3)
+    M2 = Bu.T @ E @ Bv  # [2, 2] the leading singular block
+    a, b = M2[0, 0], M2[0, 1]
+    c, d = M2[1, 0], M2[1, 1]
+    det = a * d - b * c
+    # Closed-form 2x2 polar factor and s1 + s2 (rotation branch for
+    # det >= 0, reflection branch otherwise).
+    h_rot = jnp.sqrt(jnp.maximum((a + d) ** 2 + (b - c) ** 2, _EPS))
+    h_ref = jnp.sqrt(jnp.maximum((a - d) ** 2 + (b + c) ** 2, _EPS))
+    Q_rot = jnp.array([[a + d, b - c], [c - b, a + d]]) / h_rot
+    Q_ref = jnp.array([[a - d, b + c], [b + c, d - a]]) / h_ref
+    pos = det >= 0.0
+    Q = jnp.where(pos, Q_rot, Q_ref)
+    ssum = jnp.where(pos, h_rot, h_ref)  # = s1 + s2
+    Ep = 0.5 * ssum * (Bu @ Q @ Bv.T)
+    nrm = jnp.sqrt(jnp.sum(Ep * Ep))
+    return Ep / jnp.maximum(nrm, _EPS)
+
+
+def _nonminimal(data, weights):
+    """Weighted eight-point solve + projection to the essential manifold.
+    Calibrated coordinates are already conditioned; no Hartley transform."""
+    sw = jnp.sqrt(jnp.maximum(weights, 0.0))
+    x1, y1 = data[:, 0], data[:, 1]
+    x2, y2 = data[:, 2], data[:, 3]
+    o = jnp.ones_like(x1)
+    A = jnp.stack(
+        [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1
+    ) * sw[:, None]
+    M = A.T @ A
+    e = smallest_eigvec_psd(M)
+    E = _project_essential(e.reshape(3, 3))
+    valid = jnp.isfinite(E).all() & (jnp.sum(weights > 0) >= 8)
+    return E.reshape(9), valid
+
+
+def _squared_residual(data, desc):
+    """Squared Sampson distance in calibrated coordinates. [N, 4] -> [N]."""
+    E = desc.reshape(3, 3)
+    x1, y1 = data[:, 0], data[:, 1]
+    x2, y2 = data[:, 2], data[:, 3]
+    fx0 = E[0, 0] * x1 + E[0, 1] * y1 + E[0, 2]
+    fx1 = E[1, 0] * x1 + E[1, 1] * y1 + E[1, 2]
+    fx2 = E[2, 0] * x1 + E[2, 1] * y1 + E[2, 2]
+    ftx0 = E[0, 0] * x2 + E[1, 0] * y2 + E[2, 0]
+    ftx1 = E[0, 1] * x2 + E[1, 1] * y2 + E[2, 1]
+    num = x2 * fx0 + y2 * fx1 + fx2
+    den = fx0 * fx0 + fx1 * fx1 + ftx0 * ftx0 + ftx1 * ftx1
+    return num * num / jnp.maximum(den, _EPS)
+
+
+ESSENTIAL = register_family(
+    ModelFamily(
+        name="essential",
+        data_dim=4,
+        sample_size=5,
+        nonminimal_min=8,
+        max_solutions=_MAX_SOL,
+        desc_dim=9,
+        desc_shape=(3, 3),
+        minimal_solver=_minimal,
+        nonminimal_solver=_nonminimal,
+        squared_residual=_squared_residual,
+    )
+)

@@ -418,3 +418,251 @@ def kabsch(src: jax.Array, dst: jax.Array, weights: jax.Array):
     t = mu_d - R @ mu_s
     valid = jnp.isfinite(R).all() & jnp.isfinite(t).all()
     return R, t, valid
+
+
+def charpoly_coeffs(T: jax.Array) -> jax.Array:
+    """Characteristic-polynomial coefficients of a small square matrix by
+    the Faddeev-LeVerrier recursion (n matmuls + traces — no eigensolver).
+
+    Args:
+      T: [n, n].
+    Returns:
+      coeffs [n + 1], highest power first (monic):
+      p(l) = l^n + c[1] l^(n-1) + ... + c[n].
+    """
+    n = T.shape[0]
+    eye = jnp.eye(n, dtype=T.dtype)
+    coeffs = [jnp.ones((), T.dtype)]
+    M = jnp.zeros_like(T)
+    c = jnp.ones((), T.dtype)
+    for k in range(1, n + 1):
+        M = T @ (M + c * eye)
+        c = -jnp.trace(M) / k
+        coeffs.append(c)
+    return jnp.stack(coeffs)
+
+
+def poly_real_roots_grid(coeffs: jax.Array, n_grid: int = 256,
+                         n_bisect: int = 40, n_newton: int = 2):
+    """Real roots of a monic polynomial by sign-change isolation.
+
+    Closed-form root formulas stop at the quartic and TPU has no native
+    nonsymmetric eigensolver for companion matrices, so roots of the
+    degree-10 polynomials in the five-point solver are found the
+    hardware-friendly way: evaluate the polynomial on a fixed grid over
+    the Cauchy root bound, bisect every sign-change interval (static trip
+    count, fully batched), and Newton-polish. Even-multiplicity roots
+    that touch zero without crossing are missed — for RANSAC hypothesis
+    generation that is a measure-zero loss.
+
+    Args:
+      coeffs: [d + 1] monic, highest first.
+    Returns:
+      (roots [d], valid [d] bool) — invalid lanes padded with 0.
+    """
+    d = coeffs.shape[0] - 1
+
+    def horner(x):
+        val = jnp.zeros_like(x)
+        for i in range(d + 1):
+            val = val * x + coeffs[i]
+        return val
+
+    def horner_d(x):
+        val = jnp.zeros_like(x)
+        der = jnp.zeros_like(x)
+        for i in range(d + 1):
+            der = der * x + val
+            val = val * x + coeffs[i]
+        return val, der
+
+    bound = 1.0 + jnp.max(jnp.abs(coeffs[1:]))
+    xs = jnp.linspace(-1.0, 1.0, n_grid) * bound
+    vals = horner(xs)
+    sign_change = (vals[:-1] * vals[1:]) <= 0.0  # [n_grid - 1]
+    # Keep the d leftmost sign-change intervals (a degree-d poly has at
+    # most d real roots; tie intervals beyond that are duplicates).
+    order = jnp.argsort(~sign_change)  # True (changes) first, stable
+    picked = order[:d]
+    valid = sign_change[picked]
+    lo = xs[picked]
+    hi = xs[picked + 1]
+    flo = horner(lo)
+
+    def bisect(carry, _):
+        lo, hi, flo = carry
+        mid = 0.5 * (lo + hi)
+        fmid = horner(mid)
+        go_left = (flo * fmid) <= 0.0
+        return (
+            jnp.where(go_left, lo, mid),
+            jnp.where(go_left, mid, hi),
+            jnp.where(go_left, flo, fmid),
+        ), None
+
+    (lo, hi, _), _ = jax.lax.scan(bisect, (lo, hi, flo), None, length=n_bisect)
+    roots = 0.5 * (lo + hi)
+    for _ in range(n_newton):
+        val, der = horner_d(roots)
+        step = val / jnp.where(jnp.abs(der) > _EPS, der, jnp.ones_like(der))
+        roots = roots - jnp.clip(step, -1.0, 1.0)
+    return jnp.where(valid, roots, 0.0), valid
+
+
+def null_eigvec(M: jax.Array, iters: int = 3) -> jax.Array:
+    """Approximate null vector (eigenvector of the eigenvalue nearest 0)
+    of a small square, possibly NON-symmetric matrix by shift-regularized
+    inverse iteration with the unrolled GJ solver."""
+    n = M.shape[0]
+    scale = jnp.maximum(jnp.max(jnp.abs(M)), _EPS)
+    Ms = M + (1e-5 * scale) * jnp.eye(n, dtype=M.dtype)
+    v = jnp.arange(1, n + 1, dtype=M.dtype)
+    v = v / jnp.linalg.norm(v)
+    for _ in range(iters):
+        v = gauss_jordan_solve(Ms, v[:, None])[:, 0]
+        v = v / jnp.maximum(jnp.linalg.norm(v), _EPS)
+    return v
+
+
+def eigh3x3(S: jax.Array):
+    """Closed-form eigendecomposition of a symmetric 3x3 matrix
+    (trigonometric method). Returns (eigvals [3] ascending, eigvecs [3, 3]
+    columns). The TPU-fast replacement for jnp.linalg.eigh at this size."""
+    dtype = S.dtype
+    q = jnp.trace(S) / 3.0
+    B = S - q * jnp.eye(3, dtype=dtype)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, _EPS))
+    detB = jnp.linalg.det(B / jnp.where(p > _EPS, p, 1.0))
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    # Eigenvalues of S: q + 2 p cos(phi + 2 pi k / 3), k = 0, 1, 2.
+    e0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)  # smallest
+    e2 = q + 2.0 * p * jnp.cos(phi)  # largest
+    e1 = 3.0 * q - e0 - e2
+    vals = jnp.stack([e0, e1, e2])
+
+    def eigvec(lam):
+        # Null vector of S - lam I via cross products of its rows (the two
+        # most independent rows give the most stable normal direction).
+        A = S - lam * jnp.eye(3, dtype=dtype)
+        c01 = jnp.cross(A[0], A[1])
+        c02 = jnp.cross(A[0], A[2])
+        c12 = jnp.cross(A[1], A[2])
+        cands = jnp.stack([c01, c02, c12])
+        norms = jnp.linalg.norm(cands, axis=1)
+        best = jnp.argmax(norms)
+        v = cands[best]
+        return v / jnp.maximum(jnp.linalg.norm(v), _EPS)
+
+    vecs = jnp.stack([eigvec(vals[i]) for i in range(3)], axis=1)
+    return vals, vecs
+
+
+def hessenberg(T: jax.Array) -> jax.Array:
+    """Upper-Hessenberg reduction of a small square matrix by unrolled,
+    masked Householder reflections (static shapes, batch-friendly)."""
+    n = T.shape[0]
+    H = T
+    idx = jnp.arange(n)
+    for k in range(n - 2):
+        col = jnp.where(idx > k, H[:, k], 0.0)
+        nrm = jnp.sqrt(jnp.sum(col * col))
+        pivot = col[k + 1]
+        alpha = -jnp.sign(jnp.where(pivot == 0.0, 1.0, pivot)) * nrm
+        v = col - alpha * (idx == k + 1).astype(T.dtype)
+        vn = jnp.sqrt(jnp.sum(v * v))
+        v = jnp.where(vn > _EPS, v / jnp.maximum(vn, _EPS), v)
+        # H <- (I - 2vv^T) H (I - 2vv^T)
+        H = H - 2.0 * jnp.outer(v, v @ H)
+        H = H - 2.0 * jnp.outer(H @ v, v)
+    return H
+
+
+def _hyman_sign_fn(H: jax.Array):
+    """Returns g(lam) with sign(g) == sign(det(H - lam I) / prod(subdiag))
+    for an upper-Hessenberg H, evaluated by Hyman's recurrence with
+    positive rescaling (stable sign tracking; batched over lam)."""
+    n = H.shape[0]
+    sub = jnp.diagonal(H, offset=-1)  # [n-1]
+    sub_safe = jnp.where(jnp.abs(sub) > 1e-20, sub, 1e-20)
+
+    def g(lams):
+        G = lams.shape[0]
+        x = jnp.zeros((n, G), H.dtype).at[n - 1].set(1.0)
+        logscale = jnp.zeros((G,), H.dtype)
+        for i in range(n - 2, -1, -1):
+            row = H[i + 1]  # row i+1 touches x_j for j >= i
+            s = row[i + 1:] @ x[i + 1:] - lams * x[i + 1]
+            xi = -s / sub_safe[i]
+            x = x.at[i].set(xi)
+            m = jnp.max(jnp.abs(x), axis=0)
+            m = jnp.where(m > 1e10, m, 1.0)
+            x = x / m
+        val = H[0] @ x - lams * x[0]
+        del logscale
+        return val
+
+    return g
+
+
+def balance_matrix(T: jax.Array, n_sweeps: int = 6) -> jax.Array:
+    """Osborne balancing by powers of two: a diagonal similarity that
+    equalizes row/column norms. Eigenvalues are unchanged, but the norm
+    (and hence any root bound used downstream) can drop by orders of
+    magnitude for the badly scaled action matrices the five-point solver
+    produces."""
+    n = T.shape[0]
+    B = T
+    eye_mask = jnp.eye(n, dtype=bool)
+    for _ in range(n_sweeps):
+        off = jnp.where(eye_mask, 0.0, B)
+        r = jnp.sum(jnp.abs(off), axis=1)  # row norms
+        c = jnp.sum(jnp.abs(off), axis=0)  # col norms
+        f = jnp.sqrt(jnp.maximum(c, _EPS) / jnp.maximum(r, _EPS))
+        f = jnp.exp2(jnp.round(jnp.log2(jnp.clip(f, 1e-8, 1e8))))
+        f = jnp.where((r > _EPS) & (c > _EPS), f, 1.0)
+        B = B * f[:, None] / f[None, :]
+    return B
+
+
+def real_eigvals_hessenberg(T: jax.Array, n_grid: int = 512,
+                            n_bisect: int = 45):
+    """Real eigenvalues of a small square NON-symmetric matrix, the
+    TPU-friendly way: Hessenberg reduction, then sign-change isolation of
+    det(H - lam I) via Hyman's recurrence on a grid over the Gershgorin
+    bound + bisection. No QR iteration, no complex arithmetic; complex
+    pairs are simply never detected (the callers want real solutions
+    only). Even-multiplicity real eigenvalues that do not produce a sign
+    change are missed — a measure-zero loss for hypothesis generation.
+
+    Returns (eigvals [n], valid [n] bool).
+    """
+    n = T.shape[0]
+    Tb = balance_matrix(T)
+    H = hessenberg(Tb)
+    g = _hyman_sign_fn(H)
+    bound = jnp.max(jnp.sum(jnp.abs(Tb), axis=1)) + 1e-3
+    xs = jnp.linspace(-1.0, 1.0, n_grid) * bound
+    vals = g(xs)
+    sign_change = (vals[:-1] * vals[1:]) <= 0.0
+    order = jnp.argsort(~sign_change)
+    picked = order[:n]
+    valid = sign_change[picked]
+    lo, hi = xs[picked], xs[picked + 1]
+    flo = g(lo)
+
+    def bisect(carry, _):
+        lo, hi, flo = carry
+        mid = 0.5 * (lo + hi)
+        fmid = g(mid)
+        go_left = (flo * fmid) <= 0.0
+        return (
+            jnp.where(go_left, lo, mid),
+            jnp.where(go_left, mid, hi),
+            jnp.where(go_left, flo, fmid),
+        ), None
+
+    (lo, hi, _), _ = jax.lax.scan(bisect, (lo, hi, flo), None, length=n_bisect)
+    roots = 0.5 * (lo + hi)
+    return jnp.where(valid, roots, 0.0), valid

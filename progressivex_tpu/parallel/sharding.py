@@ -81,10 +81,9 @@ def fit_batch(
             per_device,
             mesh=mesh,
             in_specs=(spec, spec, spec, spec),
-            out_specs=engine.FitResult(
-                descs=spec, active=spec, labels=spec,
-                n_models=spec, total_iters=spec, rounds_run=spec,
-            ),
+            # Single-spec prefix: every FitResult leaf (incl. the RoundLog
+            # subtree) shards along the scenes axis.
+            out_specs=spec,
             # The scan carry starts replicated (zeros) and becomes varying
             # after the first axis_index fold; skip the static VMA check.
             check_vma=False,
