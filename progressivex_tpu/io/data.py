@@ -24,8 +24,21 @@ ADELAIDE_F_SCENES = ("book", "breadcube", "cubetoy")
 
 
 def load_corr_scene(name: str, root: str = DEFAULT_ROOT):
-    """Load a labeled correspondence scene -> (corrs [N,4], labels [N])."""
+    """Load a labeled correspondence scene -> (corrs [N,4], labels [N]).
+
+    Uses the native parser (progx_native, native/progx_native.cpp — the
+    counterpart of the reference's C++ loader `progx_utils.h:32-96`) when
+    the extension is built, else a NumPy fallback."""
     path = os.path.join(root, name, f"{name}.txt")
+    try:
+        import progx_native
+
+        cb, lb = progx_native.load_corr_scene(path)
+        corrs = np.frombuffer(cb, np.float32).reshape(-1, 4).astype(np.float64)
+        labels = np.frombuffer(lb, np.int32).copy()
+        return corrs, labels
+    except ImportError:
+        pass
     M = np.loadtxt(path)
     corrs = np.concatenate([M[:, :2], M[:, 3:5]], axis=1)
     labels = M[:, -1].astype(np.int32)

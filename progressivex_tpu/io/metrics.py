@@ -15,7 +15,23 @@ the trace formula, translation error as the Euclidean distance.
 from __future__ import annotations
 
 import numpy as np
-from scipy.optimize import linear_sum_assignment
+
+
+def _assignment_max(M: "np.ndarray") -> int:
+    """Maximal assignment sum of a square int64 matrix: the native
+    Hungarian implementation (progx_native, native/progx_native.cpp) when
+    built, else scipy's linear_sum_assignment."""
+    try:
+        import progx_native
+
+        return int(progx_native.hungarian_max(
+            np.ascontiguousarray(M, np.int64).tobytes(), M.shape[0]
+        ))
+    except ImportError:
+        from scipy.optimize import linear_sum_assignment
+
+        ri, ci = linear_sum_assignment(-M)
+        return int(M[ri, ci].sum())
 
 
 def misclassification(pred_labels, gt_labels) -> float:
@@ -28,8 +44,7 @@ def misclassification(pred_labels, gt_labels) -> float:
     M = np.zeros((n, n), dtype=np.int64)
     in_range = pred < n
     np.add.at(M, (gt[in_range], pred[in_range]), 1)
-    ri, ci = linear_sum_assignment(-M)
-    matched = M[ri, ci].sum()
+    matched = _assignment_max(M)
     return 1.0 - matched / len(pred)
 
 
