@@ -17,6 +17,7 @@ validity mask — no data-dependent branching.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from progressivex_tpu.models.base import ModelFamily, register_family
@@ -88,7 +89,12 @@ def _minimal(samples):
 
 
 def _nonminimal(data, weights):
-    """Normalized weighted eight-point with rank-2 projection."""
+    """Normalized weighted eight-point with rank-2 projection.
+
+    Conditioning stays INLIER-WEIGHTED (per refit), unlike the homography
+    refit's scene-level conditioners: the eight-point solve is famously
+    normalization-sensitive, and conditioning polluted by outliers was
+    measured to blow whole scenes up (cubetoy ME 0.02 -> 0.5-0.6)."""
     sw = jnp.sqrt(jnp.maximum(weights, 0.0))
     n1, T1 = hartley_normalize(data[:, :2], weights)
     n2, T2 = hartley_normalize(data[:, 2:4], weights)

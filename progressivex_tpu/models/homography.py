@@ -11,6 +11,7 @@ Output layout (row-major 3x3) matches
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from progressivex_tpu.models.base import ModelFamily, register_family
@@ -168,10 +169,75 @@ def _minimal_batched(samples):
     return descs, valid[:, None]
 
 
+def _scene_conditioners(data):
+    """Scene-level (weight-INDEPENDENT) Hartley-style conditioning stats.
+
+    Depending only on `data`, everything derived from them is loop-
+    invariant: XLA hoists the per-point DLT outer products below out of
+    the PEARL/LO loops, so each weighted refit reduces to one tiny
+    [K, N] @ [N, 81] matmul instead of materializing a [K, 2N, 9] row
+    tensor per refit call (which was the single largest PEARL line item).
+    Padding rows are included in the stats — harmless, conditioning only
+    needs coordinates at O(1)."""
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, data.dtype))
+
+    def stats(p):
+        c = jnp.mean(p, axis=0)
+        d = jnp.mean(jnp.linalg.norm(p - c, axis=-1))
+        s = sqrt2 / jnp.maximum(d, _EPS)
+        return c, s
+
+    c1, s1 = stats(data[:, :2])
+    c2, s2 = stats(data[:, 2:4])
+    n1 = (data[:, :2] - c1) * s1
+    n2 = (data[:, 2:4] - c2) * s2
+    return n1, n2, (c1, s1), (c2, s2)
+
+
 def _nonminimal(data, weights):
-    """Weighted DLT over all points. data: [N, 4], weights: [N]."""
-    H, valid = _solve_h(data[:, :2], data[:, 2:4], weights)
-    valid = valid & (jnp.sum(weights > 0) >= 4)
+    """Weighted DLT over all points via per-point outer products.
+    data: [N, 4], weights: [N] -> ([9], valid)."""
+    dtype = data.dtype
+    n1, n2, (c1, s1), (c2, s2) = _scene_conditioners(data)
+    x1, y1 = n1[:, 0], n1[:, 1]
+    x2, y2 = n2[:, 0], n2[:, 1]
+    z = jnp.zeros_like(x1)
+    o = jnp.ones_like(x1)
+    r0 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
+    r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
+    # [N, 9, 9] data-only outer products (hoisted out of refit loops).
+    P = r0[:, :, None] * r0[:, None, :] + r1[:, :, None] * r1[:, None, :]
+    w = jnp.maximum(weights, 0.0)
+    M = jnp.einsum(
+        "n,nij->ij", w, P, precision=jax.lax.Precision.HIGHEST
+    )
+    h = smallest_eigvec_psd(M)
+    Hn = h.reshape(3, 3)
+    # Denormalize H = T2^-1 Hn T1 with similarity conditioners.
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+    T1 = jnp.stack([
+        jnp.stack([s1, zero, -s1 * c1[0]]),
+        jnp.stack([zero, s1, -s1 * c1[1]]),
+        jnp.stack([zero, zero, one]),
+    ])
+    T2inv = jnp.stack([
+        jnp.stack([one / s2, zero, c2[0]]),
+        jnp.stack([zero, one / s2, c2[1]]),
+        jnp.stack([zero, zero, one]),
+    ])
+    H = T2inv @ Hn @ T1
+    scale = H[2, 2]
+    big = jnp.max(jnp.abs(H))
+    denom = jnp.where(
+        jnp.abs(scale) > 1e-8 * big, scale, jnp.where(big > _EPS, big, 1.0)
+    )
+    H = H / denom
+    valid = (
+        jnp.isfinite(H).all()
+        & (jnp.abs(jnp.linalg.det(H)) > 1e-10)
+        & (jnp.sum(weights > 0) >= 4)
+    )
     return H.reshape(9), valid
 
 
