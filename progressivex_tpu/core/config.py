@@ -54,6 +54,9 @@ class EngineConfig:
     # (progressivex_python.cpp:104-105,237-239) — and minimal samples drawn
     # from a too-local 12-NN patch are near-degenerate for H/F models.
     sampler_id: int = 0  # 0 uniform / 1 PROSAC / 2 P-NAPSAC / 3 NAPSAC
+    merge_pass: bool = True  # final pairwise instance-merge moves (the
+    # expansion-with-label-costs move class parallel ICM lacks; dissolves
+    # split structures — core/pearl.merge_instances)
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is
     # reduced across the axis (see parallel/sharding.py)

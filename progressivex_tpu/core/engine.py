@@ -44,7 +44,7 @@ from progressivex_tpu.core.config import (
     RuntimeParams,
     truncated_sq_threshold,
 )
-from progressivex_tpu.core.pearl import pearl_run
+from progressivex_tpu.core.pearl import merge_instances, pearl_run
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
 from progressivex_tpu.ops.labeling import adjacency_from_knn, neighbor_mean
@@ -442,6 +442,15 @@ def fit(
     state, rounds_run, log = lax.while_loop(
         cond2, body, (state, jnp.int32(0), log0)
     )
+    if cfg.merge_pass:
+        # Final merge moves: dissolve split structures that per-point ICM
+        # updates cannot escape (see pearl.merge_instances).
+        m_descs, m_active, m_labels = merge_instances(
+            family, cfg, params, data, point_mask, point_weights,
+            state.descs, state.active, state.labels, adj,
+        )
+        state = state._replace(descs=m_descs, active=m_active,
+                               labels=m_labels)
     return FitResult(
         descs=state.descs,
         active=state.active,
