@@ -2,6 +2,7 @@
 equivalent of the reference's `examples/example_multi_homography.ipynb`
 (protocol from `dataset_comparison/adelaideH.ipynb` cell 3)."""
 
+import sys
 import time
 
 import numpy as np

@@ -2,6 +2,7 @@
 of the reference's `examples/example_multi_lines.ipynb` workload (3180
 Canny edge points -> ~7 lines; here a synthetic wireframe with known GT)."""
 
+import sys
 import time
 
 import numpy as np

@@ -30,7 +30,9 @@ class EngineConfig:
     n_hypotheses: int = 512  # minimal samples drawn per proposal round
     max_models: int = 10  # static slot count (== max accepted, 10 rounds cap)
     max_rounds: int = 10  # reference hard cap (progressive_x.h:272)
-    lo_steps: int = 4  # IRLS local-optimization steps per LO candidate
+    lo_steps: int = 2  # IRLS local-optimization steps per LO candidate
+    # (convergence-tested; cap 2 measured ME-identical to 4 on the
+    # AdelaideRMF scenes — the PEARL refits continue the polish anyway)
     lo_candidates: int = 4  # top-T admissible hypotheses polished per round
     lo_spatial_lambda: float = 0.5  # blend of own vs neighborhood-mean
     # preference in the LO refit weights (GC-RANSAC spatial coherence
@@ -45,7 +47,9 @@ class EngineConfig:
     # scenes (caps 3 and 5 give identical ME); the cap only bounds the
     # worst case, and un-converged scenes continue in the next round's
     # PEARL call.
-    icm_sweeps: int = 8  # ICM sweeps per labeling call
+    icm_sweeps: int = 4  # cap on ICM sweeps per labeling call (the loop
+    # is change-detected; caps 4 and 8 measured ME-identical — labelings
+    # converge in 2-4 sweeps and harder scenes resettle in later rounds)
     knn_k: int = 12  # neighbor count of the labeling (Potts) graph
     sampler_k: int = 48  # neighbor count for NAPSAC-style local sampling.
     # Decoupled from knn_k: the Potts degree calibrates the spatial energy

@@ -3,7 +3,8 @@
 TPU-native counterpart of `pearl::PEARL::run`
 (`/root/reference/src/pyprogressivex/include/PEARL.h:405-472`):
 
-  while not converged (fixed trip count here):
+  while not converged (change detection + |dE| < 1e-5, as PEARL.h:463-467;
+  capped at cfg.pearl_iters):
     1. labeling:    ICM over the kNN graph (ops/labeling.py) instead of
                     alpha-expansion (PEARL.h:476-555)
     2. refit:       per-instance weighted non-minimal fit on assigned points

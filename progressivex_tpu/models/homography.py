@@ -172,13 +172,12 @@ def _minimal_batched(samples):
 def _scene_conditioners(data):
     """Scene-level (weight-INDEPENDENT) Hartley-style conditioning stats.
 
-    Depending only on `data`, everything derived from them is loop-
-    invariant: XLA hoists the per-point DLT outer products below out of
-    the PEARL/LO loops, so each weighted refit reduces to one tiny
-    [K, N] @ [N, 81] matmul instead of materializing a [K, 2N, 9] row
-    tensor per refit call (which was the single largest PEARL line item).
-    Padding rows are included in the stats — harmless, conditioning only
-    needs coordinates at O(1)."""
+    Depending only on `data`, the conditioned row tensors derived from
+    them are loop-invariant, so each weighted refit is a pair of tiny
+    normal-matrix contractions instead of materializing a [K, 2N, 9]
+    weighted row tensor per refit call (which was the single largest
+    PEARL line item). Padding rows are included in the stats — harmless,
+    conditioning only needs coordinates at O(1)."""
     sqrt2 = jnp.sqrt(jnp.asarray(2.0, data.dtype))
 
     def stats(p):
@@ -195,7 +194,7 @@ def _scene_conditioners(data):
 
 
 def _nonminimal(data, weights):
-    """Weighted DLT over all points via per-point outer products.
+    """Weighted DLT over all points via loop-invariant row tensors.
     data: [N, 4], weights: [N] -> ([9], valid)."""
     dtype = data.dtype
     n1, n2, (c1, s1), (c2, s2) = _scene_conditioners(data)
@@ -205,11 +204,20 @@ def _nonminimal(data, weights):
     o = jnp.ones_like(x1)
     r0 = jnp.stack([-x1, -y1, -o, z, z, z, x2 * x1, x2 * y1, x2], axis=-1)
     r1 = jnp.stack([z, z, z, -x1, -y1, -o, y2 * x1, y2 * y1, y2], axis=-1)
-    # [N, 9, 9] data-only outer products (hoisted out of refit loops).
-    P = r0[:, :, None] * r0[:, None, :] + r1[:, :, None] * r1[:, None, :]
+    # Contract the weighted normal matrix directly from the [N, 9] row
+    # tensors (data-only, so they stay loop-invariant): materializing the
+    # [N, 9, 9] per-point outer products instead was measured to cost
+    # ~1.2 ms per PEARL iteration in pure HBM traffic — XLA does not hoist
+    # multi-MB loop-invariant temporaries out of while loops.
     w = jnp.maximum(weights, 0.0)
+    # float32 (3-pass) precision: the conditioned rows are O(1), so the
+    # default bf16 operand truncation would leave ~0.3% error in the
+    # normal matrix (too much for the eigenvector), while full HIGHEST
+    # costs 2x more passes than needed.
     M = jnp.einsum(
-        "n,nij->ij", w, P, precision=jax.lax.Precision.HIGHEST
+        "n,ni,nj->ij", w, r0, r0, precision=jax.lax.Precision.HIGH
+    ) + jnp.einsum(
+        "n,ni,nj->ij", w, r1, r1, precision=jax.lax.Precision.HIGH
     )
     h = smallest_eigvec_psd(M)
     Hn = h.reshape(3, 3)
