@@ -15,6 +15,38 @@ ships the five-point solver headers but no Python front end for them).
 
 __version__ = "0.2.0"
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache, on by default.
+
+    The fused fit programs take minutes to compile on TPU (the while-loop
+    nest plus memory-space assignment dominates); the persistent cache
+    brings every repeat invocation — across processes — down to seconds.
+    Opt out with PROGX_COMPILE_CACHE=0, relocate with PROGX_COMPILE_CACHE=
+    <dir>. Registered lazily via jax.config so importing this package
+    never initializes a backend.
+    """
+    setting = _os.environ.get("PROGX_COMPILE_CACHE", "1")
+    if setting == "0":
+        return
+    cache_dir = (
+        setting
+        if setting not in ("", "1")
+        else _os.path.expanduser("~/.cache/progressivex_tpu/jax_cache")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover — ancient jax without the knobs
+        pass
+
+
+_enable_compile_cache()
+
 from progressivex_tpu.models import get_family  # noqa: F401
 
 try:  # The full API needs the core engine; keep import-light during build-up.

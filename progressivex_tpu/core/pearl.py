@@ -57,9 +57,11 @@ def pearl_run(
     trunc_sq = truncated_sq_threshold(params.threshold)
     w = params.spatial_weight
 
-    # Remap labels of now-inactive slots to the outlier class.
+    # Remap labels of now-inactive slots to the outlier class. One-hot
+    # compare + any-reduce instead of indexing a [K+1] table by [N] labels:
+    # the latter is a TPU gather (milliseconds at N~2k under a scene vmap).
     def sanitize(labels, active):
-        lbl_active = jnp.concatenate([active, jnp.array([True])])[labels]
+        lbl_active = labeling_ops.labels_active_mask(labels, active)
         return jnp.where(lbl_active, labels, outlier_label)
 
     def residual_matrix(descs):
@@ -91,10 +93,28 @@ def pearl_run(
             :, None
         ]  # [N, K]
         counts = jnp.sum(onehot, axis=0)  # [K]
+        # IRLS weighting: assigned points weighted by their truncated
+        # preference under the CURRENT model, then one reweighted pass.
+        # The reference refits with plain user weights (PEARL.h:375-380),
+        # but its labelings come from exact expansion moves and its
+        # estimators run on CPU doubles; here an instance's point set
+        # includes spatially-coherent boundary junk whose near-threshold
+        # residuals dominate an unweighted ALGEBRAIC solve (measured on
+        # AdelaideRMF-F: plain one-hot refits routinely RAISED the Sampson
+        # residual sum and were vetoed, leaving fits loose enough that the
+        # label-cost deletion test killed genuine structures — the
+        # breadcube K=1 collapse).
+        pref_w = jnp.maximum(0.0, 1.0 - r2 / trunc_sq)  # [K, N]
         fit_w = onehot.T.astype(data.dtype) * point_weights[None, :]  # [K, N]
         new_descs, fit_ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
-            data, fit_w, descs
+            data, fit_w * pref_w, descs
         )
+        r2_mid = residual_matrix(new_descs)
+        pref_mid = jnp.maximum(0.0, 1.0 - r2_mid / trunc_sq)
+        descs2, ok2 = jax.vmap(family.refit, in_axes=(None, 0, 0))(
+            data, fit_w * pref_mid, new_descs
+        )
+        r2_two = residual_matrix(descs2)
         # Refit acceptance on TRUNCATED residuals: an instance can hold
         # spatially-coherent junk members whose huge residuals dominate an
         # untruncated sum and veto refits that improve the data-supported
@@ -102,9 +122,19 @@ def pearl_run(
         # energy — like ours — only ever sees truncated costs, so the
         # truncated comparison matches the objective actually optimized).
         cap = 2.25 * trunc_sq
-        res_before = jnp.sum(onehot.T * jnp.sqrt(jnp.minimum(r2, cap)), axis=1)
-        r2_new = residual_matrix(new_descs)
-        res_after = jnp.sum(onehot.T * jnp.sqrt(jnp.minimum(r2_new, cap)), axis=1)
+
+        def trunc_sum(r2m):
+            return jnp.sum(onehot.T * jnp.sqrt(jnp.minimum(r2m, cap)), axis=1)
+
+        res_before = trunc_sum(r2)
+        res_one = jnp.where(fit_ok, trunc_sum(r2_mid), jnp.inf)
+        res_two = jnp.where(fit_ok & ok2, trunc_sum(r2_two), jnp.inf)
+        # Best of the two IRLS iterates (the second is usually tighter but
+        # not monotonically so).
+        use_two = res_two < res_one
+        new_descs = jnp.where(use_two[:, None], descs2, new_descs)
+        r2_new = jnp.where(use_two[:, None], r2_two, r2_mid)
+        res_after = jnp.minimum(res_one, res_two)
         accept = (
             fit_ok
             & active
@@ -199,7 +229,7 @@ def pearl_run(
         # Re-assign points of removed instances by data argmin.
         dcost3 = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
         labels = jnp.where(
-            jnp.concatenate([active, jnp.array([True])])[labels],
+            labeling_ops.labels_active_mask(labels, active),
             labels,
             jnp.argmin(dcost3, axis=0).astype(labels.dtype),
         )
@@ -342,7 +372,7 @@ def merge_instances(
         (descs, active, labels, jnp.int32(0), jnp.ones((), bool)),
     )
     labels = jnp.where(
-        jnp.concatenate([active, jnp.array([True])])[labels],
+        labeling_ops.labels_active_mask(labels, active),
         labels, outlier_label,
     )
     return descs, active, labels

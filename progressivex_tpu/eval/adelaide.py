@@ -141,10 +141,27 @@ def evaluate_scenes(problem: str, root: str | None = None, seed: int = 0,
     }
 
 
+# Scene-size buckets (point counts padded up to one of these levels, ~x1.5
+# apart, multiples of 128): a dataset's scenes vary ~10x in size, and padding
+# every scene to the dataset max makes small scenes cost as much as the
+# biggest (measured 2-3x total throughput loss on AdelaideRMF-H, whose
+# largest scene is ~6x its median). Each bucket compiles its own program —
+# amortized across processes by the persistent compilation cache.
+_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2304, 3456, 5120, 7680)
+
+
+def _bucket_size(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // 128) * 128
+
+
 def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
                      n_timing_runs: int = 3, seed: int = 0):
     """Scene-batched throughput measurement — the TPU-native way to run a
-    dataset: all scenes padded to one shape, one vmapped device program.
+    dataset: scenes grouped into size buckets, each bucket one padded
+    vmapped device program; throughput = total scenes / summed batch time.
 
     Returns (scenes_per_sec, mean_me, n_scenes_batched, full_dataset,
     compile_seconds).
@@ -161,27 +178,6 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     kw = H_PROTOCOL if problem == "H" else F_PROTOCOL
     family = get_family("homography" if problem == "H" else "fundamental")
     scenes = [load_corr_scene(n, root=scene_root) for n in names]
-    n_max = max(c.shape[0] for c, _ in scenes)
-    n_pad = max(128, -(-n_max // 128) * 128)
-
-    batch, masks, weights, n_valids = [], [], [], []
-    for corrs, _ in scenes:
-        n = corrs.shape[0]
-        d = np.zeros((n_pad, 4), np.float32)
-        d[:n] = corrs
-        m = np.zeros((n_pad,), bool)
-        m[:n] = True
-        w = np.zeros((n_pad,), np.float32)
-        w[:n] = 1.0
-        batch.append(d)
-        masks.append(m)
-        weights.append(w)
-        n_valids.append(n)
-    data = jnp.array(np.stack(batch * reps))
-    mask = jnp.array(np.stack(masks * reps))
-    wts = jnp.array(np.stack(weights * reps))
-    nv = jnp.array(np.array(n_valids * reps, np.int32))
-    ns = data.shape[0]
 
     from progressivex_tpu.api import _hyp_budget
 
@@ -190,41 +186,76 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
         n_hypotheses=_hyp_budget(kw["max_iters"], family.max_solutions),
         sampler_id=int(kw["sampler_id"]),
     )
-    params = make_params(
-        threshold=kw["threshold"], confidence=kw["conf"],
-        spatial_weight=kw["spatial_coherence_weight"],
-        neighborhood_radius=kw["neighborhood_ball_radius"],
-        max_tanimoto=kw["maximum_tanimoto_similarity"],
-        min_inliers=kw["minimum_point_number"],
-        max_models=kw["maximum_model_number"],
-        scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
-    )
-    run = jax.jit(jax.vmap(
-        lambda d, m, w, k, nvi: fit(
-            family, cfg, params._replace(n_valid=nvi), d, m, w, k
-        )
-    ))
-    keys = jax.random.split(jax.random.PRNGKey(seed), ns)
 
-    t0 = time.perf_counter()
-    res = run(data, mask, wts, keys, nv)
-    np.asarray(res.n_models)
-    compile_s = time.perf_counter() - t0
+    buckets: dict[int, list[int]] = {}
+    for i, (corrs, _) in enumerate(scenes):
+        buckets.setdefault(_bucket_size(corrs.shape[0]), []).append(i)
 
-    times = []
+    total_scenes = 0
+    total_time = 0.0
+    compile_s = 0.0
     mes = []
-    for i in range(n_timing_runs):
-        k = jax.random.split(jax.random.PRNGKey(seed + i + 1), ns)
+    for n_pad in sorted(buckets):
+        idxs = buckets[n_pad]
+        batch, masks, weights, n_valids, gts = [], [], [], [], []
+        for i in idxs:
+            corrs, gt = scenes[i]
+            n = corrs.shape[0]
+            d = np.zeros((n_pad, 4), np.float32)
+            d[:n] = corrs
+            m = np.zeros((n_pad,), bool)
+            m[:n] = True
+            w = np.zeros((n_pad,), np.float32)
+            w[:n] = 1.0
+            batch.append(d)
+            masks.append(m)
+            weights.append(w)
+            n_valids.append(n)
+            gts.append(gt)
+        data = jnp.array(np.stack(batch * reps))
+        mask = jnp.array(np.stack(masks * reps))
+        wts = jnp.array(np.stack(weights * reps))
+        nv = jnp.array(np.array(n_valids * reps, np.int32))
+        ns = data.shape[0]
+
+        params = make_params(
+            threshold=kw["threshold"], confidence=kw["conf"],
+            spatial_weight=kw["spatial_coherence_weight"],
+            neighborhood_radius=kw["neighborhood_ball_radius"],
+            max_tanimoto=kw["maximum_tanimoto_similarity"],
+            min_inliers=kw["minimum_point_number"],
+            max_models=kw["maximum_model_number"],
+            scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
+        )
+        run = jax.jit(jax.vmap(
+            lambda d, m, w, k, nvi: fit(
+                family, cfg, params._replace(n_valid=nvi), d, m, w, k
+            )
+        ))
+        keys = jax.random.split(jax.random.PRNGKey(seed), ns)
+
         t0 = time.perf_counter()
-        res = run(data, mask, wts, k, nv)
-        np.asarray(res.n_models)  # host fetch = hard execution barrier
-        times.append(time.perf_counter() - t0)
-        # Quality from EVERY timing run (each uses fresh keys): the mean
-        # over runs x tiled replicas is a lower-variance estimate than a
-        # single-seed snapshot.
-        for j, (_, gt) in enumerate(scenes * reps):
-            one = jax.tree.map(lambda x: np.asarray(x[j]), res)
-            _, labels = compact_result(FitResult(*one), n_valids[j % len(scenes)])
-            mes.append(misclassification(labels, gt))
-    scenes_per_s = ns / min(times)
-    return scenes_per_s, float(np.mean(mes)), ns, full, compile_s
+        res = run(data, mask, wts, keys, nv)
+        np.asarray(res.n_models)
+        compile_s += time.perf_counter() - t0
+
+        times = []
+        for i in range(n_timing_runs):
+            k = jax.random.split(jax.random.PRNGKey(seed + i + 1), ns)
+            t0 = time.perf_counter()
+            res = run(data, mask, wts, k, nv)
+            np.asarray(res.n_models)  # host fetch = hard execution barrier
+            times.append(time.perf_counter() - t0)
+            # Quality from EVERY timing run (each uses fresh keys): the
+            # mean over runs x tiled replicas is a lower-variance estimate
+            # than a single-seed snapshot.
+            for j in range(ns):
+                one = jax.tree.map(lambda x: np.asarray(x[j]), res)
+                _, labels = compact_result(
+                    FitResult(*one), n_valids[j % len(idxs)]
+                )
+                mes.append(misclassification(labels, gts[j % len(idxs)]))
+        total_scenes += ns
+        total_time += min(times)
+    scenes_per_s = total_scenes / total_time
+    return scenes_per_s, float(np.mean(mes)), total_scenes, full, compile_s

@@ -114,9 +114,8 @@ def _nonminimal(data, weights):
     return F.reshape(9), valid
 
 
-def _squared_residual(data, desc):
-    """Squared Sampson distance. data: [N, 4] -> [N]."""
-    F = desc.reshape(3, 3)
+def _sampson_parts(data, F):
+    """(numerator x2^T F x1, Sampson denominator) for every row. [N], [N]."""
     x1, y1 = data[:, 0], data[:, 1]
     x2, y2 = data[:, 2], data[:, 3]
     # F x1 (homogeneous)
@@ -128,7 +127,35 @@ def _squared_residual(data, desc):
     ftx1 = F[0, 1] * x2 + F[1, 1] * y2 + F[2, 1]
     num = x2 * fx0 + y2 * fx1 + fx2
     den = fx0 * fx0 + fx1 * fx1 + ftx0 * ftx0 + ftx1 * ftx1
+    return num, den
+
+
+def _squared_residual(data, desc):
+    """Squared Sampson distance. data: [N, 4] -> [N]."""
+    num, den = _sampson_parts(data, desc.reshape(3, 3))
     return num * num / jnp.maximum(den, _EPS)
+
+
+def _refine(data, weights, init_desc):
+    """Sampson-reweighted eight point (one Gauss-Newton step on the Sampson
+    error from a warm start): rows weighted by w_i / den_i with den the
+    Sampson denominator under the CURRENT model. The plain eight point
+    minimizes the ALGEBRAIC error, whose gap to the Sampson distance the
+    engine actually scores is exactly the per-point factor den_i; folding it
+    into the row weights makes each refit a true descent step on the scored
+    objective (measured on AdelaideRMF-F: tightens mean residual ratios
+    enough to keep genuine structures above PEARL's label-cost deletion
+    margin). Frame-exact: the algebraic error x2^T F x1 is invariant under
+    the Hartley similarity transforms used inside `_nonminimal`, so
+    pixel-frame denominators are the correct weights for the normalized
+    system too."""
+    F0 = init_desc.reshape(3, 3)
+    _, den = _sampson_parts(data, F0)
+    # Clamp tiny denominators (points near the epipole) to a fraction of
+    # the weighted mean so one point cannot dominate the system.
+    mean_den = jnp.sum(den * weights) / jnp.maximum(jnp.sum(weights), _EPS)
+    w_s = weights / jnp.maximum(den, 0.05 * jnp.maximum(mean_den, _EPS))
+    return _nonminimal(data, w_s)
 
 
 FUNDAMENTAL = register_family(
@@ -143,5 +170,6 @@ FUNDAMENTAL = register_family(
         minimal_solver=_minimal,
         nonminimal_solver=_nonminimal,
         squared_residual=_squared_residual,
+        refine_solver=_refine,
     )
 )

@@ -134,6 +134,16 @@ def neighbor_mean(adj, values):
     return s.astype(jnp.float32) / deg
 
 
+def labels_active_mask(labels, active):
+    """[N] bool: does each point's label refer to an active slot (or the
+    outlier class)? One-hot compare + any-reduce — never a gather (see
+    labeling_energy's hardware note); `active` is the [K] slot mask and
+    label K (= len(active)) is the always-valid outlier class."""
+    act_ext = jnp.concatenate([active, jnp.ones((1,), bool)])
+    oh = labels[None, :] == jnp.arange(act_ext.shape[0])[:, None]  # [L, N]
+    return jnp.any(oh & act_ext[:, None], axis=0)
+
+
 def _local_costs(dcost, labels, adj, deg, spatial_weight):
     """dcost + Potts term against the current neighbor labels. [L, N]."""
     same = neighbor_label_counts(adj, labels, dcost.shape[0])
@@ -182,11 +192,19 @@ def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int):
 
 
 def labeling_energy(dcost, labels, adj, spatial_weight):
-    """Total energy of a labeling (for convergence tests and logging)."""
-    data = jnp.sum(jnp.take_along_axis(dcost, labels[None, :], axis=0))
+    """Total energy of a labeling (for convergence tests and logging).
+
+    Per-point label selection is a one-hot multiply-reduce over the tiny
+    label axis, not a take_along_axis: an [N]-element gather lowers to TPU
+    gather instructions (measured ~2 ms per call at N~2k under a 96-scene
+    vmap — one of the largest single line items of the whole fit), while
+    the masked reduce is a trivial [L, N] elementwise op.
+    """
     num_labels = dcost.shape[0]
+    own_oh = labels[None, :] == jnp.arange(num_labels)[:, None]  # [L, N]
+    data = jnp.sum(jnp.where(own_oh, dcost, 0.0))
     same = neighbor_label_counts(adj, labels, num_labels)  # [L, N]
-    own = jnp.take_along_axis(same, labels[None, :], axis=0)[0]  # [N]
+    own = jnp.sum(jnp.where(own_oh, same, 0.0), axis=0)  # [N]
     deg = jnp.sum(adj.astype(jnp.float32), axis=1)
     # Directed-edge mismatch count, matching the reference's
     # double-registration of symmetric FLANN edges in GCO (PEARL.h:532-536).
