@@ -116,6 +116,7 @@ def _run(
     graph_data=None,
     with_statistics=False,
     lo_spatial_lambda=0.5,
+    n_restarts=1,
 ):
     t0 = time.perf_counter()
     data = np.ascontiguousarray(data, np.float32)
@@ -139,6 +140,7 @@ def _run(
         n_hypotheses=_hyp_budget(max_iters, get_family(family_name).max_solutions),
         sampler_id=int(sampler_id),
         lo_spatial_lambda=lo_spatial_lambda,
+        n_restarts=int(n_restarts),
     )
     params = make_params(
         threshold=threshold,
@@ -215,6 +217,7 @@ def findLines(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi 2D-line fitting. points: [N,2]. Returns ([K,3] (a,b,c), labeling)."""
     points = np.asarray(points, np.float64)
@@ -231,6 +234,7 @@ def findLines(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
+        n_restarts=n_restarts,
     )
     out = descs.astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -254,6 +258,7 @@ def findVanishingPoints(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi vanishing-point fitting. lines: [N,4] segments [xs,ys,xe,ye].
     Returns ([K,3] unit homogeneous VPs, labeling)."""
@@ -271,6 +276,7 @@ def findVanishingPoints(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
+        n_restarts=n_restarts,
     )
     out = descs.astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -295,6 +301,7 @@ def findHomographies(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
     Returns ([3K,3] stacked row-major 3x3s, labeling)."""
@@ -311,6 +318,7 @@ def findHomographies(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
+        n_restarts=n_restarts,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -335,6 +343,7 @@ def findTwoViewMotions(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
     Returns ([3K,3] stacked row-major 3x3 F matrices, labeling)."""
@@ -351,6 +360,7 @@ def findTwoViewMotions(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
+        n_restarts=n_restarts,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -373,6 +383,7 @@ def findEssentialMatrices(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi essential-matrix fitting (EXTENSION: the reference ships the
     five-point solver and estimator headers, `progressive_x.h:19,24`, but
@@ -407,7 +418,7 @@ def findEssentialMatrices(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, graph_data=corrs,
-        with_statistics=with_statistics,
+        with_statistics=with_statistics, n_restarts=n_restarts,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -428,6 +439,7 @@ def find6DPoses(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
+    n_restarts=1,
 ):
     """Multi 6D-pose fitting from 2D-3D correspondences.
     x1y1: [N,2] pixel coords, x2y2z2: [N,3] world points, K: [3,3].
@@ -463,7 +475,7 @@ def find6DPoses(
         maximum_model_number=maximum_model_number, sampler_id=0,
         scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
         graph_data=graph_data, with_statistics=with_statistics,
-        lo_spatial_lambda=0.0,
+        n_restarts=n_restarts, lo_spatial_lambda=0.0,
     )
     out = descs.reshape(-1, 4).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

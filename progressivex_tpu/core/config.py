@@ -61,6 +61,13 @@ class EngineConfig:
     merge_pass: bool = True  # final pairwise instance-merge moves (the
     # expansion-with-label-costs move class parallel ICM lacks; dissolves
     # split structures — core/pearl.merge_instances)
+    n_restarts: int = 1  # independent engine restarts per scene, selected
+    # by final total energy (data + Potts + label costs). A randomized
+    # multi-model fit occasionally rolls a bad local optimum (a split or
+    # collapsed structure); restarts run as one extra vmap axis on device —
+    # near-free for small scenes — and the energy argmin keeps the good
+    # roll. The reference has no counterpart (it cannot afford restarts on
+    # CPU); this is the TPU-native way to buy tail quality with FLOPs.
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is
     # reduced across the axis (see parallel/sharding.py)

@@ -33,6 +33,7 @@ current descriptors after PEARL refits, which is strictly more accurate.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple
 
 import jax
@@ -47,7 +48,12 @@ from progressivex_tpu.core.config import (
 from progressivex_tpu.core.pearl import merge_instances, pearl_run
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
-from progressivex_tpu.ops.labeling import adjacency_from_knn, neighbor_mean
+from progressivex_tpu.ops.labeling import (
+    adjacency_from_knn,
+    data_costs,
+    labeling_energy,
+    neighbor_mean,
+)
 from progressivex_tpu.ops.sampling import sample_minimal
 from progressivex_tpu.ops.scoring import (
     compound_penalized_scores,
@@ -360,6 +366,50 @@ def fit(
     # ICM sweep of every PEARL call as an MXU matmul operand (see
     # ops/labeling.py hardware note).
     adj = adjacency_from_knn(knn_idx, knn_mask)
+
+    if cfg.n_restarts > 1:
+        # Independent restarts share the (key-independent) neighborhood
+        # tensors and vmap over decorrelated keys; the final labeling is
+        # the restart with the lowest total energy (see config.n_restarts).
+        sub_cfg = dataclasses.replace(cfg, n_restarts=1)
+        keys = jax.random.split(key, cfg.n_restarts)
+        results = jax.vmap(
+            lambda k: _fit_prepared(
+                family, sub_cfg, params, data, point_mask, point_weights,
+                k, samp_idx, samp_mask, adj,
+            )
+        )(keys)
+        energies = jax.vmap(
+            lambda r: _total_energy(
+                family, params, data, point_mask, adj,
+                r.descs, r.active, r.labels,
+            )
+        )(results)
+        best = jnp.argmin(energies)
+        return jax.tree.map(lambda x: x[best], results)
+    return _fit_prepared(
+        family, cfg, params, data, point_mask, point_weights, key,
+        samp_idx, samp_mask, adj,
+    )
+
+
+def _total_energy(family, params, data, pmask, adj, descs, active, labels):
+    """Total objective of a final state: labeling energy (data + Potts,
+    ops/labeling.labeling_energy) + label cost x live instances — the same
+    energy PEARL minimizes (PEARL.h:82-128 + setLabelCost), used to rank
+    restarts."""
+    trunc_sq = truncated_sq_threshold(params.threshold)
+    r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs)
+    dcost = data_costs(r2, active, pmask, params.spatial_weight, trunc_sq)
+    e = labeling_energy(dcost, labels, adj, params.spatial_weight)
+    return e + params.min_inliers.astype(e.dtype) * jnp.sum(active)
+
+
+def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
+                  samp_idx, samp_mask, adj):
+    """One engine run with the neighborhood tensors already built."""
+    n = data.shape[0]
+    k_slots = cfg.max_models
 
     # PRESAMPLE every round's minimal-sample indices before the loop. Two
     # reasons: (a) sampling is pure index generation with no dependence on

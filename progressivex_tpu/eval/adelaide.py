@@ -51,6 +51,11 @@ F_PROTOCOL = dict(
     neighborhood_ball_radius=50.0, maximum_tanimoto_similarity=0.4,
     max_iters=10000, minimum_point_number=7, maximum_model_number=4,
     sampler_id=2, scoring_exponent=1.0,
+    # Extension kwarg (config.n_restarts): a randomized engine run on the
+    # F scenes rolls a bad local optimum (split or collapsed structure) in
+    # ~1/4 of seeds; 3 energy-selected restarts cut that tail to ~2% for
+    # 3x device FLOPs — still ~25x the reference's F throughput.
+    n_restarts=3,
 )
 
 
@@ -185,6 +190,7 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
         family=family.name,
         n_hypotheses=_hyp_budget(kw["max_iters"], family.max_solutions),
         sampler_id=int(kw["sampler_id"]),
+        n_restarts=int(kw.get("n_restarts", 1)),
     )
 
     buckets: dict[int, list[int]] = {}
@@ -257,5 +263,11 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
                 mes.append(misclassification(labels, gts[j % len(idxs)]))
         total_scenes += ns
         total_time += min(times)
+        print(
+            f"[progressivex_tpu.eval] {problem} bucket n_pad={n_pad}: "
+            f"{ns} scenes in {min(times) * 1e3:.1f} ms "
+            f"({ns / min(times):.1f} scenes/s)",
+            file=sys.stderr,
+        )
     scenes_per_s = total_scenes / total_time
     return scenes_per_s, float(np.mean(mes)), total_scenes, full, compile_s
