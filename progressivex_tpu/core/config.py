@@ -68,6 +68,12 @@ class EngineConfig:
     # near-free for small scenes — and the energy argmin keeps the good
     # roll. The reference has no counterpart (it cannot afford restarts on
     # CPU); this is the TPU-native way to buy tail quality with FLOPs.
+    potts_band: int = 192  # half-width of the block-banded Potts adjacency
+    # over spatially-sorted points (ops/labeling.BandedAdj): every neighbor
+    # histogram reads [N, 128 + 2*band] instead of [N, N] — the adjacency
+    # matmuls are pure HBM-bound and this is a 4-6x traffic cut at N ~ 2k.
+    # Edge recall within the band is 97-99% on the AdelaideRMF scenes
+    # (measured; small scenes with N <= band are exact). 0 = dense [N, N].
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is
     # reduced across the axis (see parallel/sharding.py)

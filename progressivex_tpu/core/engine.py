@@ -49,6 +49,7 @@ from progressivex_tpu.core.pearl import merge_instances, pearl_run
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
 from progressivex_tpu.ops.labeling import (
+    adjacency_banded,
     adjacency_from_knn,
     data_costs,
     labeling_energy,
@@ -99,6 +100,9 @@ class FitResult(NamedTuple):
     n_models: jnp.ndarray  # int32
     total_iters: jnp.ndarray  # int32
     rounds_run: jnp.ndarray  # int32
+    energy: jnp.ndarray  # f32 final total energy (data + Potts + label
+    # costs — the objective PEARL minimizes); comparable across runs of
+    # the same scene, used to select among independent restarts
     round_log: RoundLog
 
 
@@ -354,6 +358,36 @@ def fit(
     n = data.shape[0]
     k_slots = cfg.max_models
     gd = data if graph_data is None else graph_data
+
+    # The band only pays when it is narrower than the scene: at
+    # n <= 128 + 2*band the banded blocks read MORE bytes than the dense
+    # [N, N] adjacency (and cover every pair anyway), so small scenes
+    # stay dense. Static switch — n and the config are compile-time.
+    use_band = cfg.potts_band > 0 and n > 128 + 2 * cfg.potts_band
+    rank = None
+    if use_band:
+        # Spatial reordering: sort points along the principal axis of the
+        # graph coordinates (power iteration on the tiny [d, d] covariance)
+        # so that kNN neighbors cluster within a +-potts_band index window
+        # and the Potts adjacency can be stored block-banded
+        # (ops/labeling.BandedAdj). Padding keys sort to +inf, preserving
+        # the suffix-padding invariant the samplers rely on.
+        m = point_mask.astype(gd.dtype)
+        mu = jnp.sum(gd * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+        xc = (gd - mu) * m[:, None]
+        cov = xc.T @ xc
+        v = jnp.ones((gd.shape[1],), gd.dtype)
+        for _ in range(8):
+            v = cov @ v
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+        proj = (gd - mu) @ v
+        perm = jnp.argsort(jnp.where(point_mask, proj, jnp.inf))
+        rank = jnp.argsort(perm)  # original id -> sorted position
+        data = data[perm]
+        point_mask = point_mask[perm]
+        point_weights = point_weights[perm]
+        gd = gd[perm]
+
     # One top_k pass serves two neighborhoods: the first knn_k columns form
     # the labeling (Potts) graph, the full sampler_k columns the NAPSAC
     # sampling neighborhood (see config.py for why they differ).
@@ -362,35 +396,45 @@ def fit(
         gd, point_mask, params.neighborhood_radius, k_all
     )
     knn_idx, knn_mask = samp_idx[:, : cfg.knn_k], samp_mask[:, : cfg.knn_k]
-    # Dense one-hot adjacency (bf16): built once per fit, reused by every
-    # ICM sweep of every PEARL call as an MXU matmul operand (see
-    # ops/labeling.py hardware note).
-    adj = adjacency_from_knn(knn_idx, knn_mask)
+    # One-hot adjacency: built once per fit, reused by every ICM sweep of
+    # every PEARL call as an MXU matmul operand (ops/labeling.py hardware
+    # note) — block-banded over the sorted order when potts_band > 0, dense
+    # [N, N] otherwise.
+    if use_band:
+        adj = adjacency_banded(knn_idx, knn_mask, cfg.potts_band)
+    else:
+        adj = adjacency_from_knn(knn_idx, knn_mask)
 
     if cfg.n_restarts > 1:
         # Independent restarts share the (key-independent) neighborhood
         # tensors and vmap over decorrelated keys; the final labeling is
         # the restart with the lowest total energy (see config.n_restarts).
+        # NOTE for LARGE scene batches: this nests a restart vmap inside
+        # the caller's scene vmap, which XLA's TPU memory-space assignment
+        # reproducibly check-fails on above ~32 scene lanes ("conflicting
+        # pending required assignment"); batch harnesses should instead
+        # flatten restarts into the scene axis with n_restarts=1 and select
+        # on the returned per-run `energy` (eval/adelaide.throughput_batch
+        # does this).
         sub_cfg = dataclasses.replace(cfg, n_restarts=1)
         keys = jax.random.split(key, cfg.n_restarts)
         results = jax.vmap(
             lambda k: _fit_prepared(
                 family, sub_cfg, params, data, point_mask, point_weights,
-                k, samp_idx, samp_mask, adj,
+                k, samp_idx, samp_mask, adj, rank,
             )
         )(keys)
-        energies = jax.vmap(
-            lambda r: _total_energy(
-                family, params, data, point_mask, adj,
-                r.descs, r.active, r.labels,
-            )
-        )(results)
-        best = jnp.argmin(energies)
-        return jax.tree.map(lambda x: x[best], results)
-    return _fit_prepared(
-        family, cfg, params, data, point_mask, point_weights, key,
-        samp_idx, samp_mask, adj,
-    )
+        best = jnp.argmin(results.energy)
+        result = jax.tree.map(lambda x: x[best], results)
+    else:
+        result = _fit_prepared(
+            family, cfg, params, data, point_mask, point_weights, key,
+            samp_idx, samp_mask, adj, rank,
+        )
+    if rank is not None:
+        # Back to the caller's point order (one [N] gather, once per fit).
+        result = result._replace(labels=result.labels[rank])
+    return result
 
 
 def _total_energy(family, params, data, pmask, adj, descs, active, labels):
@@ -406,7 +450,7 @@ def _total_energy(family, params, data, pmask, adj, descs, active, labels):
 
 
 def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
-                  samp_idx, samp_mask, adj):
+                  samp_idx, samp_mask, adj, rank=None):
     """One engine run with the neighborhood tensors already built."""
     n = data.shape[0]
     k_slots = cfg.max_models
@@ -430,6 +474,11 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
             point_mask, params.n_valid, samp_idx, samp_mask,
         )
     )(round_keys)  # [R, B, m], [R, B]
+    if cfg.sampler_id == 1 and rank is not None:
+        # PROSAC's prefix-growth indices are drawn in QUALITY order — the
+        # caller's original row order — so map them through the spatial
+        # sort; every other sampler draws in sorted space directly.
+        idx_all = rank[idx_all]
 
     state = FitState(
         key=key,
@@ -508,6 +557,10 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
         n_models=jnp.sum(state.active).astype(jnp.int32),
         total_iters=state.total_iters,
         rounds_run=rounds_run,
+        energy=_total_energy(
+            family, params, data, point_mask, adj,
+            state.descs, state.active, state.labels,
+        ),
         round_log=log,
     )
 

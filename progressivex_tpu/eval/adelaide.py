@@ -186,11 +186,17 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
 
     from progressivex_tpu.api import _hyp_budget
 
+    # Restarts are FLATTENED into the scene axis (engine n_restarts stays
+    # 1): each lane is replicated n_restarts times with decorrelated keys
+    # and the lowest-energy replica is selected per lane from the
+    # FitResult.energy field. The engine's nested restart vmap trips an
+    # XLA TPU memory-space-assignment check-fail above ~32 scene lanes;
+    # the flat batch is also the better TPU program (one wide vmap).
+    n_restarts = int(kw.get("n_restarts", 1))
     cfg = EngineConfig(
         family=family.name,
         n_hypotheses=_hyp_budget(kw["max_iters"], family.max_solutions),
         sampler_id=int(kw["sampler_id"]),
-        n_restarts=int(kw.get("n_restarts", 1)),
     )
 
     buckets: dict[int, list[int]] = {}
@@ -200,11 +206,24 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     total_scenes = 0
     total_time = 0.0
     compile_s = 0.0
-    mes = []
+    mes: dict[str, list] = {}
     for n_pad in sorted(buckets):
         idxs = buckets[n_pad]
+        # Target a 64-lane power-of-two batch per bucket: below ~64 lanes
+        # the deep while-loop nest is launch-latency-bound and scenes/s
+        # scales almost linearly with batch (measured 170 -> 250 scenes/s
+        # on the small H bucket); power-of-two lane counts keep XLA's
+        # memory-space assignment on well-trodden layouts (a 66-lane
+        # F batch reproducibly hit the TPU compiler's "conflicting pending
+        # required assignment" check-fail). Scenes replicate cyclically to
+        # fill the batch exactly; per-scene ME averaging below is immune
+        # to the uneven replication.
+        lanes = max(64, 1 << (len(idxs) * max(reps, 1) - 1).bit_length())
+        lanes = min(lanes, 128 if n_pad <= 1024 else 64)
+        lanes = max(lanes, 1 << (len(idxs) - 1).bit_length())
+        lane_ids = [idxs[j % len(idxs)] for j in range(lanes)]
         batch, masks, weights, n_valids, gts = [], [], [], [], []
-        for i in idxs:
+        for i in lane_ids:
             corrs, gt = scenes[i]
             n = corrs.shape[0]
             d = np.zeros((n_pad, 4), np.float32)
@@ -218,11 +237,11 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
             weights.append(w)
             n_valids.append(n)
             gts.append(gt)
-        data = jnp.array(np.stack(batch * reps))
-        mask = jnp.array(np.stack(masks * reps))
-        wts = jnp.array(np.stack(weights * reps))
-        nv = jnp.array(np.array(n_valids * reps, np.int32))
-        ns = data.shape[0]
+        data = jnp.array(np.concatenate([np.stack(batch)] * n_restarts))
+        mask = jnp.array(np.concatenate([np.stack(masks)] * n_restarts))
+        wts = jnp.array(np.concatenate([np.stack(weights)] * n_restarts))
+        nv = jnp.array(np.array(n_valids * n_restarts, np.int32))
+        ns = data.shape[0]  # = lanes * n_restarts device runs
 
         params = make_params(
             threshold=kw["threshold"], confidence=kw["conf"],
@@ -252,22 +271,33 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
             res = run(data, mask, wts, k, nv)
             np.asarray(res.n_models)  # host fetch = hard execution barrier
             times.append(time.perf_counter() - t0)
-            # Quality from EVERY timing run (each uses fresh keys): the
-            # mean over runs x tiled replicas is a lower-variance estimate
-            # than a single-seed snapshot.
-            for j in range(ns):
-                one = jax.tree.map(lambda x: np.asarray(x[j]), res)
-                _, labels = compact_result(
-                    FitResult(*one), n_valids[j % len(idxs)]
-                )
-                mes.append(misclassification(labels, gts[j % len(idxs)]))
-        total_scenes += ns
+            # Quality from EVERY timing run (each uses fresh keys),
+            # keyed BY SCENE: the dataset mean is the unweighted mean of
+            # per-scene means (exactly how the reference notebooks
+            # average), so lane replication for throughput cannot skew
+            # the quality metric toward over-replicated scenes. Among a
+            # lane's restart replicas only the lowest-energy one — the
+            # result a user of the restart API would get — is scored.
+            energy = np.asarray(res.energy).reshape(n_restarts, lanes)
+            pick = np.argmin(energy, axis=0)  # [lanes] winning replica
+            for j in range(lanes):
+                jj = pick[j] * lanes + j  # device row of the winning replica
+                one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
+                _, labels = compact_result(FitResult(*one), n_valids[j])
+                mes.setdefault(names[lane_ids[j]], []).append(
+                    misclassification(labels, gts[j]))
+        total_scenes += lanes
         total_time += min(times)
         print(
             f"[progressivex_tpu.eval] {problem} bucket n_pad={n_pad}: "
-            f"{ns} scenes in {min(times) * 1e3:.1f} ms "
-            f"({ns / min(times):.1f} scenes/s)",
+            f"{lanes} scenes (x{n_restarts} restarts) in "
+            f"{min(times) * 1e3:.1f} ms ({lanes / min(times):.1f} scenes/s)",
             file=sys.stderr,
         )
     scenes_per_s = total_scenes / total_time
-    return scenes_per_s, float(np.mean(mes)), total_scenes, full, compile_s
+    for name_, v in sorted(mes.items()):
+        print(f"[progressivex_tpu.eval] {problem} {name_}: "
+              f"mean ME {float(np.mean(v)):.4f} over {len(v)} runs",
+              file=sys.stderr)
+    mean_me = float(np.mean([np.mean(v) for v in mes.values()]))
+    return scenes_per_s, mean_me, total_scenes, full, compile_s

@@ -75,17 +75,22 @@ def prosac_sample(key, n_hyp: int, m: int, n_valid):
 
 def napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mask):
     """Center + (m-1) of its kNN neighbors; falls back to uniform when the
-    neighborhood is too small."""
+    neighborhood is too small.
+
+    Slot-first gathering: the Gumbel top-k picks neighbor SLOTS from the
+    [B, K] validity mask (a 1-byte gather), and only the m-1 chosen
+    (center, slot) pairs are then gathered from the int32 kNN table —
+    materializing the full [B, K] id table first cost ~16x the bytes and
+    was a visible line item of the presampling pass at B ~ 10k."""
     k_center, k_nbr, k_fallback = jax.random.split(key, 3)
     centers = jax.random.randint(
         k_center, (n_hyp,), 0, jnp.maximum(n_valid, 1)
     ).astype(jnp.int32)
-    nbr_ids = knn_idx[centers]  # [B, K]
-    nbr_ok = knn_mask[centers]
-    # Choose m-1 distinct neighbors: Gumbel top-k over the tiny K axis.
+    nbr_ok = knn_mask[centers]  # [B, K] bool
+    # Choose m-1 distinct neighbor slots: Gumbel top-k over the tiny K axis.
     g = jax.random.gumbel(k_nbr, nbr_ok.shape) + jnp.where(nbr_ok, 0.0, _NEG)
     vals, pick = lax.top_k(g, m - 1)
-    picked = jnp.take_along_axis(nbr_ids, pick, axis=1)
+    picked = knn_idx[centers[:, None], pick]  # [B, m-1] pair gather
     idx = jnp.concatenate([centers[:, None], picked], axis=1).astype(jnp.int32)
     ok = vals[:, -1] > _NEG / 2
     # Fallback: uniform samples wherever the neighborhood was too small.
@@ -125,6 +130,10 @@ def progressive_napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mas
         nbr_ok & in_window, 0.0, _NEG
     )
     vals, pick = lax.top_k(g, m - 1)
+    # NB: full-row gather + take_along_axis, NOT the pair gather used in
+    # napsac_sample — the [B, m-1] two-array gather in THIS function
+    # reproducibly trips XLA TPU memory-space assignment ("conflicting
+    # pending required assignment" check-fail) at >= 64 scene lanes.
     picked = jnp.take_along_axis(nbr_ids, pick, axis=1)
     l_idx = jnp.concatenate([centers[:, None], picked], axis=1).astype(jnp.int32)
     l_ok = vals[:, -1] > _NEG / 2
