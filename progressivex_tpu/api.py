@@ -80,8 +80,24 @@ def _pad_to(n: int) -> int:
     return max(_PAD, -(-n // _PAD) * _PAD)
 
 
-def _hyp_budget(max_iters: int, max_solutions: int = 1) -> int:
-    return int(min(max(int(max_iters), 64), _MAX_HYP,
+# Per-family batched-budget caps. Measured on AdelaideRMF (unihouse, the
+# 6-structure scene): homography proposal batches beyond ~512 are both
+# SLOWER and WORSE (mean ME 0.17 at 1000 vs 0.14 at 512) — one huge batch
+# over-selects the single globally-highest-scoring hypothesis, which in a
+# multi-structure scene tends to be a greedy bridge model, while a smaller
+# batch discovers structures more sequentially (closer to the reference's
+# adaptive search, which at confidence 0.5 stops after tens-to-hundreds of
+# iterations anyway). Fundamental matrices measure the opposite (mean ME
+# 0.035 at 1365 vs 0.046 at 512 — the 7-point minimal fit is noisy enough
+# to need the bigger pool), so only the stable single-solution families
+# are capped.
+_MAX_HYP_BY_FAMILY = {"homography": 512, "line2d": 512, "vanishing_point": 512}
+
+
+def _hyp_budget(max_iters: int, max_solutions: int = 1,
+                family_name: str | None = None) -> int:
+    cap = _MAX_HYP_BY_FAMILY.get(family_name, _MAX_HYP)
+    return int(min(max(int(max_iters), 64), cap,
                    _MAX_HYP_FLAT // max(max_solutions, 1)))
 
 
@@ -137,7 +153,9 @@ def _run(
 
     cfg = EngineConfig(
         family=family_name,
-        n_hypotheses=_hyp_budget(max_iters, get_family(family_name).max_solutions),
+        n_hypotheses=_hyp_budget(
+            max_iters, get_family(family_name).max_solutions, family_name
+        ),
         sampler_id=int(sampler_id),
         lo_spatial_lambda=lo_spatial_lambda,
         n_restarts=int(n_restarts),

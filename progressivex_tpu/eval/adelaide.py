@@ -195,7 +195,9 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     n_restarts = int(kw.get("n_restarts", 1))
     cfg = EngineConfig(
         family=family.name,
-        n_hypotheses=_hyp_budget(kw["max_iters"], family.max_solutions),
+        n_hypotheses=_hyp_budget(
+            kw["max_iters"], family.max_solutions, family.name
+        ),
         sampler_id=int(kw["sampler_id"]),
     )
 
@@ -218,9 +220,17 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
         # required assignment" check-fail). Scenes replicate cyclically to
         # fill the batch exactly; per-scene ME averaging below is immune
         # to the uneven replication.
-        lanes = max(64, 1 << (len(idxs) * max(reps, 1) - 1).bit_length())
-        lanes = min(lanes, 128 if n_pad <= 1024 else 64)
-        lanes = max(lanes, 1 << (len(idxs) - 1).bit_length())
+        target = 128  # measured best: small scenes saturate ~300 scenes/s
+        # past 128 lanes, large scenes fit 128 lanes since the banded
+        # adjacency removed the dense [N, N] per-lane tensor
+        # Total device rows (lanes x restarts) bounded at 384: the
+        # [rows, hyp, N] proposal tensors are the HBM peak (measured safe
+        # at 384 rows x 4095 hyp x 256 pts; 768 rows would be ~6 GB).
+        while target * n_restarts > 384 and target > 64:
+            target //= 2
+        # Fill the batch to the target (cyclic replication below), growing
+        # only if the bucket itself has more scenes than the target.
+        lanes = max(target, 1 << (len(idxs) - 1).bit_length())
         lane_ids = [idxs[j % len(idxs)] for j in range(lanes)]
         batch, masks, weights, n_valids, gts = [], [], [], [], []
         for i in lane_ids:
