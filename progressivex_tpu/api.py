@@ -87,11 +87,16 @@ def _pad_to(n: int) -> int:
 # multi-structure scene tends to be a greedy bridge model, while a smaller
 # batch discovers structures more sequentially (closer to the reference's
 # adaptive search, which at confidence 0.5 stops after tens-to-hundreds of
-# iterations anyway). Fundamental matrices measure the opposite (mean ME
-# 0.035 at 1365 vs 0.046 at 512 — the 7-point minimal fit is noisy enough
-# to need the bigger pool), so only the stable single-solution families
-# are capped.
-_MAX_HYP_BY_FAMILY = {"homography": 512, "line2d": 512, "vanishing_point": 512}
+# iterations anyway).
+# Fundamental caps at 512 for a different reason: per single run the
+# 7-point pipeline PREFERS the bigger pool (mean ME 0.035 at 1365 vs
+# 0.046 at 512), but its front-end DEFAULT is n_restarts=5
+# (findTwoViewMotions), and 5 energy-selected restarts x 512 samples
+# strictly dominates 3 x 1365 (mean ME 0.032 vs 0.046 at equal device
+# time) — restart diversity buys more than pool depth. A user forcing
+# n_restarts=1 gives up a little single-roll quality.
+_MAX_HYP_BY_FAMILY = {"homography": 512, "line2d": 512,
+                      "vanishing_point": 512, "fundamental": 512}
 
 
 def _hyp_budget(max_iters: int, max_solutions: int = 1,
@@ -361,10 +366,14 @@ def findTwoViewMotions(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
-    n_restarts=1,
+    n_restarts=5,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
-    Returns ([3K,3] stacked row-major 3x3 F matrices, labeling)."""
+    Returns ([3K,3] stacked row-major 3x3 F matrices, labeling).
+
+    `n_restarts` (extension kwarg) defaults to 5: the 7-point pipeline is
+    the noisiest family and energy-selected restarts are the dominant
+    quality/time tradeoff for it (see api._MAX_HYP_BY_FAMILY)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")

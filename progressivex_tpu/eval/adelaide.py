@@ -53,9 +53,10 @@ F_PROTOCOL = dict(
     sampler_id=2, scoring_exponent=1.0,
     # Extension kwarg (config.n_restarts): a randomized engine run on the
     # F scenes rolls a bad local optimum (split or collapsed structure) in
-    # ~1/4 of seeds; 3 energy-selected restarts cut that tail to ~2% for
-    # 3x device FLOPs — still ~25x the reference's F throughput.
-    n_restarts=3,
+    # ~1/4 of seeds; energy-selected restarts cut that tail. 5 restarts on
+    # the 512-sample budget (api._MAX_HYP_BY_FAMILY) is the measured best
+    # quality/time point and matches the findTwoViewMotions default.
+    n_restarts=5,
 )
 
 
@@ -223,10 +224,13 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
         target = 128  # measured best: small scenes saturate ~300 scenes/s
         # past 128 lanes, large scenes fit 128 lanes since the banded
         # adjacency removed the dense [N, N] per-lane tensor
-        # Total device rows (lanes x restarts) bounded at 384: the
-        # [rows, hyp, N] proposal tensors are the HBM peak (measured safe
-        # at 384 rows x 4095 hyp x 256 pts; 768 rows would be ~6 GB).
-        while target * n_restarts > 384 and target > 64:
+        # Total device rows (lanes x restarts) bounded by the proposal
+        # tensors' HBM peak ([rows, hyp_flat, N] f32; measured safe at
+        # 384 rows x 4095 flat hypotheses) — narrower hypothesis axes
+        # allow proportionally more rows, capped at 768.
+        flat_hyp = cfg.n_hypotheses * family.max_solutions
+        max_rows = min(768, (384 * 4095) // max(flat_hyp, 1))
+        while target * n_restarts > max_rows and target > 64:
             target //= 2
         # Fill the batch to the target (cyclic replication below), growing
         # only if the bucket itself has more scenes than the target.

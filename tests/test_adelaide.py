@@ -31,7 +31,7 @@ F_KW = dict(
     neighborhood_ball_radius=50.0, maximum_tanimoto_similarity=0.4,
     max_iters=10000, minimum_point_number=7, maximum_model_number=4,
     sampler_id=2, scoring_exponent=1.0,
-    n_restarts=3,  # energy-selected restarts, as the F eval protocol runs
+    n_restarts=5,  # energy-selected restarts, as the F eval protocol runs
 )
 
 
