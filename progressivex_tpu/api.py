@@ -95,7 +95,10 @@ def _pad_to(n: int) -> int:
 # strictly dominates 3 x 1365 (mean ME 0.032 vs 0.046 at equal device
 # time) — restart diversity buys more than pool depth. A user forcing
 # n_restarts=1 gives up a little single-roll quality.
-_MAX_HYP_BY_FAMILY = {"homography": 512, "line2d": 512,
+# (Homography re-measured at 256: unihouse ME 0.121 vs 0.135 at 512 and
+# 0.17 at 1000, small scenes unchanged at 0.015 — the trend holds, so the
+# cap is 256; line/VP keep 512, untested lower.)
+_MAX_HYP_BY_FAMILY = {"homography": 256, "line2d": 512,
                       "vanishing_point": 512, "fundamental": 512}
 
 
