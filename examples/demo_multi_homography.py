@@ -2,10 +2,17 @@
 equivalent of the reference's `examples/example_multi_homography.ipynb`
 (protocol from `dataset_comparison/adelaideH.ipynb` cell 3)."""
 
+import os
 import sys
 import time
 
 import numpy as np
+
+try:
+    import progressivex_tpu  # noqa: F401 — installed package
+except ImportError:  # clean checkout without `pip install -e .`
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from progressivex_tpu import findHomographies
 from progressivex_tpu.io.data import load_corr_scene

@@ -2,10 +2,17 @@
 of the reference's `examples/example_multi_lines.ipynb` workload (3180
 Canny edge points -> ~7 lines; here a synthetic wireframe with known GT)."""
 
+import os
 import sys
 import time
 
 import numpy as np
+
+try:
+    import progressivex_tpu  # noqa: F401 — installed package
+except ImportError:  # clean checkout without `pip install -e .`
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from progressivex_tpu import findLines
 from progressivex_tpu.io.metrics import misclassification

@@ -5,7 +5,15 @@ fundamental matrices; reference runtime 0.620 s — BASELINE.md). Runs the
 reference notebook protocol on book / breadcube / cubetoy and reports
 per-scene misclassification against the ground-truth labelings."""
 
+import os
+import sys
 import time
+
+try:
+    import progressivex_tpu  # noqa: F401 — installed package
+except ImportError:  # clean checkout without `pip install -e .`
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from progressivex_tpu import findTwoViewMotions
 from progressivex_tpu.io.data import ADELAIDE_F_SCENES, load_corr_scene

@@ -7,9 +7,18 @@ The synthetic scene mirrors that structure: three vanishing points of a
 Manhattan-ish frame, each supported by a few dozen segments whose
 midpoint-to-VP lines carry small endpoint noise, plus random clutter."""
 
+import os
+import sys
 import time
 
 import numpy as np
+
+try:
+    import progressivex_tpu  # noqa: F401 — installed package
+except ImportError:  # clean checkout without `pip install -e .`
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 from progressivex_tpu import findVanishingPoints
 

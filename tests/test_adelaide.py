@@ -50,7 +50,7 @@ def _median_me(fn, corrs, gt, kw, seeds=(0, 1, 2)):
 
 @pytest.mark.parametrize(
     "scene,bound",
-    [("oldclassicswing", 0.05), ("unionhouse", 0.08), ("unihouse", 0.30)],
+    [("oldclassicswing", 0.04), ("unionhouse", 0.05), ("unihouse", 0.22)],
 )
 def test_adelaide_h_scene(scene, bound):
     corrs, gt = load_corr_scene(scene)
@@ -60,7 +60,7 @@ def test_adelaide_h_scene(scene, bound):
 
 @pytest.mark.parametrize(
     "scene,bound",
-    [("book", 0.06), ("breadcube", 0.06), ("cubetoy", 0.12)],
+    [("book", 0.05), ("breadcube", 0.05), ("cubetoy", 0.08)],
 )
 def test_adelaide_f_scene(scene, bound):
     corrs, gt = load_corr_scene(scene)
@@ -72,7 +72,9 @@ def test_adelaide_mean_beats_reference():
     """Mean of per-scene median MEs over the bundled scenes must beat the
     mean of the reference's own per-scene results on the SAME scenes:
     (0.005 + 0.006 + 0.186)/3 H and (0.032 + 0.017 + 0.012)/3 F
-    -> 0.043 combined (saved notebook outputs)."""
+    -> 0.043 combined (saved notebook outputs). The bench-measured means
+    are ~0.053 (H over seeds/lanes) and ~0.031 (F), so the median-of-3
+    gate at 0.055 holds with margin while still catching regressions."""
     mes = []
     for s in ("oldclassicswing", "unionhouse", "unihouse"):
         corrs, gt = load_corr_scene(s)
@@ -80,5 +82,4 @@ def test_adelaide_mean_beats_reference():
     for s in ("book", "breadcube", "cubetoy"):
         corrs, gt = load_corr_scene(s)
         mes.append(_median_me(findTwoViewMotions, corrs, gt, F_KW)[0])
-    ref_same_scenes = (0.005 + 0.006 + 0.186 + 0.032 + 0.017 + 0.012) / 6
-    assert float(np.mean(mes)) < max(ref_same_scenes, 0.087), mes
+    assert float(np.mean(mes)) < 0.055, mes
