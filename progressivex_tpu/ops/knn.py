@@ -40,11 +40,23 @@ def knn_graph(points, valid_mask, radius, k: int, chunk: int = 256):
     n = points.shape[0]
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
+    # Pad the QUERY rows to a whole number of chunks: lax.dynamic_slice
+    # CLAMPS an out-of-bounds start, so without padding the last chunk of
+    # a non-multiple N silently re-reads earlier rows while labeling them
+    # as the tail rows — corrupting the tail's neighbor lists.
+    n_rows = n_chunks * chunk
+    if n_rows != n:
+        points_q = jnp.pad(points, ((0, n_rows - n), (0, 0)))
+    else:
+        points_q = points
     sq = jnp.sum(points * points, axis=-1)  # [N]
+    sq_q = jnp.sum(points_q * points_q, axis=-1)
 
     def one_chunk(c):
-        rows = lax.dynamic_slice(points, (c * chunk, 0), (chunk, points.shape[1]))
-        row_sq = lax.dynamic_slice(sq, (c * chunk,), (chunk,))
+        rows = lax.dynamic_slice(
+            points_q, (c * chunk, 0), (chunk, points_q.shape[1])
+        )
+        row_sq = lax.dynamic_slice(sq_q, (c * chunk,), (chunk,))
         # |a|^2 + |b|^2 - 2ab via one [chunk, N] matmul (MXU).
         d2 = row_sq[:, None] + sq[None, :] - 2.0 * (rows @ points.T)
         d2 = jnp.maximum(d2, 0.0)

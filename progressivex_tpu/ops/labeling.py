@@ -122,15 +122,21 @@ def adjacency_from_knn(knn_idx, knn_mask, chunk: int = 512):
     dt = _adj_dtype()
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
+    # Pad rows to a whole number of chunks — dynamic_slice clamps an
+    # out-of-bounds start, which would silently duplicate earlier rows
+    # into the tail (see ops/knn.knn_graph).
+    n_rows = n_chunks * chunk
+    idx_p = jnp.pad(knn_idx, ((0, n_rows - n), (0, 0)))
+    mask_p = jnp.pad(knn_mask, ((0, n_rows - n), (0, 0)))
 
     def one_chunk(c):
-        rows = lax.dynamic_slice(knn_idx, (c * chunk, 0), (chunk, k))
-        mask = lax.dynamic_slice(knn_mask, (c * chunk, 0), (chunk, k))
+        rows = lax.dynamic_slice(idx_p, (c * chunk, 0), (chunk, k))
+        mask = lax.dynamic_slice(mask_p, (c * chunk, 0), (chunk, k))
         oh = jax.nn.one_hot(rows, n, dtype=dt)  # [C, k, N]
         return jnp.einsum("ckn,ck->cn", oh, mask.astype(dt))
 
     A = lax.map(one_chunk, jnp.arange(n_chunks))  # [n_chunks, C, N]
-    return A.reshape(n_chunks * chunk, n)[:n]
+    return A.reshape(n_rows, n)[:n]
 
 
 def adjacency_banded(knn_idx, knn_mask, half_width: int, block: int = 128,
@@ -147,11 +153,16 @@ def adjacency_banded(knn_idx, knn_mask, half_width: int, block: int = 128,
     n_pad = nb * block
     chunk = min(chunk, n)
     n_chunks = -(-n // chunk)
+    # Row padding to a whole number of chunks (dynamic_slice clamps
+    # out-of-bounds starts — see adjacency_from_knn).
+    n_rows = n_chunks * chunk
+    idx_p = jnp.pad(knn_idx, ((0, n_rows - n), (0, 0)))
+    mask_p = jnp.pad(knn_mask, ((0, n_rows - n), (0, 0)))
 
     def one_chunk(cidx):
         i0 = cidx * chunk
-        idx = lax.dynamic_slice(knn_idx, (i0, 0), (chunk, k))
-        msk = lax.dynamic_slice(knn_mask, (i0, 0), (chunk, k))
+        idx = lax.dynamic_slice(idx_p, (i0, 0), (chunk, k))
+        msk = lax.dynamic_slice(mask_p, (i0, 0), (chunk, k))
         i = i0 + jnp.arange(chunk)
         r = i % block
         c = idx - (i - r)[:, None] + w  # [C, k]
