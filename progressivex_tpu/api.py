@@ -22,8 +22,9 @@ vanishing points accept 0/1 only and fall back to uniform, matching
 
 `max_iters` (the reference's per-proposal RANSAC iteration cap,
 `progressivex_python.cpp:271`) sets the batched hypothesis budget: one
-proposal round draws min(max_iters, 2048) minimal samples at once instead
-of iterating sequentially.
+proposal round draws min(max_iters, per-family cap — see
+`_MAX_HYP_BY_FAMILY`) minimal samples at once instead of iterating
+sequentially.
 
 Extra keyword (extension): `random_seed` — the engine is deterministic
 given a seed; the reference uses an unseeded std RNG.

@@ -50,7 +50,7 @@ def pearl_run(
     descs,  # [K, D]
     active,  # [K] bool
     labels,  # [N] warm-start labels (slot space; K = outlier)
-    adj,  # [N, N] one-hot neighborhood adjacency (ops/labeling.py)
+    adj,  # [N, N] one-hot or BandedAdj neighborhood adjacency (ops/labeling.py)
 ) -> PearlResult:
     k_slots = cfg.max_models
     outlier_label = jnp.int32(k_slots)
@@ -280,7 +280,7 @@ def merge_instances(
     descs,  # [K, D]
     active,  # [K] bool
     labels,  # [N] slot labels, K = outlier
-    adj,  # [N, N] adjacency
+    adj,  # [N, N] or BandedAdj adjacency
     n_rounds: int = 3,
 ):
     """Explicit pairwise instance-merge moves.
