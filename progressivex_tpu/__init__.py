@@ -31,6 +31,11 @@ def _enable_compile_cache():
     setting = _os.environ.get("PROGX_COMPILE_CACHE", "1")
     if setting == "0":
         return
+    if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # The user already configured a cache location; an explicit
+        # jax.config update would override their env var (config beats
+        # env in jax), so the package default must yield.
+        return
     cache_dir = (
         setting
         if setting not in ("", "1")

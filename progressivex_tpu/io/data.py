@@ -17,7 +17,30 @@ import os
 
 import numpy as np
 
-DEFAULT_ROOT = "/root/reference/build/data"
+
+def _resolve_default_root() -> str:
+    """Data-root resolution order:
+
+    1. `PROGX_DATA_ROOT` environment variable (explicit override),
+    2. the `data/` directory vendored at the repository root (the 7
+       ground-truth scenes ship with this package, so tests/demos/bench
+       run self-contained),
+    3. the reference checkout's bundled data (developer convenience).
+
+    A clear error is raised at load time when none of these exists.
+    """
+    env = os.environ.get("PROGX_DATA_ROOT")
+    if env:
+        return env
+    vendored = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "data"
+    )
+    if os.path.isdir(vendored):
+        return vendored
+    return "/root/reference/build/data"
+
+
+DEFAULT_ROOT = _resolve_default_root()
 
 ADELAIDE_H_SCENES = ("oldclassicswing", "unihouse", "unionhouse")
 ADELAIDE_F_SCENES = ("book", "breadcube", "cubetoy")
@@ -30,6 +53,12 @@ def load_corr_scene(name: str, root: str = DEFAULT_ROOT):
     counterpart of the reference's C++ loader `progx_utils.h:32-96`) when
     the extension is built, else a NumPy fallback."""
     path = os.path.join(root, name, f"{name}.txt")
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"scene file {path!r} not found — set PROGX_DATA_ROOT to a "
+            "directory holding <scene>/<scene>.txt ground-truth files "
+            "(the repository ships the 7 bundled scenes under data/)"
+        )
     try:
         import progx_native
 
