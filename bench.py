@@ -19,18 +19,48 @@ import sys
 
 
 def main():
-    from progressivex_tpu.eval.adelaide import throughput_batch
+    from progressivex_tpu.eval.adelaide import throughput_all
 
-    h_sps, h_me, h_n, h_full, h_compile = throughput_batch("H", reps=8)
+    results, compile_s = throughput_all("HF")
+    h_sps, h_me, h_n, h_full, _ = results["H"]
+    f_sps, f_me, f_n, f_full, _ = results["F"]
     print(
         f"H: {h_sps:.2f} scenes/s ME={h_me:.4f} "
-        f"(batch={h_n}, full_dataset={h_full}, compile={h_compile:.1f}s)",
+        f"(batch={h_n}, full_dataset={h_full})\n"
+        f"F: {f_sps:.2f} scenes/s ME={f_me:.4f} "
+        f"(batch={f_n}, full_dataset={f_full})\n"
+        f"compile (all programs, parallel): {compile_s:.1f}s",
         file=sys.stderr,
     )
-    f_sps, f_me, f_n, f_full, f_compile = throughput_batch("F", reps=8)
+    h_compile = f_compile = compile_s
+
+    # T-LESS multi-6D-pose quality + runtime (reference anchors from the
+    # demo outputs, cpp_example.cpp:406-438 / example_multi_pose_6d.ipynb:
+    # rot 8.25/0.95 deg, transl 24.0/12.2 mm, 57.57 s on the ref CPU).
+    import time
+
+    import numpy as np
+
+    from progressivex_tpu import find6DPoses
+    from progressivex_tpu.io.data import load_tless_scene
+    from progressivex_tpu.io.metrics import pose_errors
+
+    xy, xyz, K, gt_poses = load_tless_scene()
+    kw = dict(threshold=4.0, conf=0.9, spatial_coherence_weight=0.1,
+              neighborhood_ball_radius=20.0, maximum_tanimoto_similarity=0.9,
+              max_iters=400, minimum_point_number=6)
+    find6DPoses(xy, xyz, K, **kw, random_seed=0)  # warm the program
+    t0 = time.perf_counter()
+    poses, labeling = find6DPoses(xy, xyz, K, **kw, random_seed=1)
+    pose_time = time.perf_counter() - t0
+    k = poses.shape[0] // 3
+    errs = pose_errors([poses[3 * i:3 * i + 3] for i in range(k)], gt_poses)
+    rot_errs = [round(float(r), 3) for r, _ in errs]
+    tr_errs = [round(float(t), 3) for _, t in errs]
     print(
-        f"F: {f_sps:.2f} scenes/s ME={f_me:.4f} "
-        f"(batch={f_n}, full_dataset={f_full}, compile={f_compile:.1f}s)",
+        f"T-LESS 6D pose: {k} instances in {pose_time:.3f}s, "
+        f"rot errs {rot_errs} deg (ref 8.25/0.95), "
+        f"transl errs {tr_errs} mm (ref 24.0/12.2)",
         file=sys.stderr,
     )
 
@@ -56,6 +86,13 @@ def main():
         "adelaideF_baseline_misclassification_same_scenes": f_ref,
         "adelaideF_n_scenes_batched": f_n,
         "full_dataset_F": f_full,
+        "tless_rotation_errors_deg": rot_errs,
+        "tless_translation_errors_mm": tr_errs,
+        "tless_ref_rotation_errors_deg": [8.25, 0.95],
+        "tless_ref_translation_errors_mm": [24.0, 12.2],
+        "tless_time_s": round(pose_time, 3),
+        "tless_ref_time_s": 57.57,
+        "compile_seconds_all_programs": round(h_compile, 1),
     }))
 
 

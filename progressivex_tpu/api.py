@@ -22,9 +22,11 @@ vanishing points accept 0/1 only and fall back to uniform, matching
 
 `max_iters` (the reference's per-proposal RANSAC iteration cap,
 `progressivex_python.cpp:271`) sets the batched hypothesis budget: one
-proposal round draws min(max_iters, per-family cap — see
-`_MAX_HYP_BY_FAMILY`) minimal samples at once instead of iterating
-sequentially.
+proposal round draws sub-batches of min(max_iters, per-family cap — see
+`_MAX_HYP_BY_FAMILY`) minimal samples at a time, continuing until the
+RANSAC k* confidence criterion is met or the full max_iters budget is
+exhausted (engine._proposal) — the batched form of the reference's
+adaptive sequential search.
 
 Extra keyword (extension): `random_seed` — the engine is deterministic
 given a seed; the reference uses an unseeded std RNG.
@@ -110,6 +112,21 @@ def _hyp_budget(max_iters: int, max_solutions: int = 1,
                    _MAX_HYP_FLAT // max(max_solutions, 1)))
 
 
+# Upper bound on adaptive proposal sub-batches per round. The per-family
+# caps above bound the SUB-BATCH size (the measured selection/HBM sweet
+# spots); the requested max_iters budget is honored by drawing up to
+# ceil(max_iters / sub_batch) sub-batches with the k* confidence stop
+# (engine._proposal) — so e.g. the reference F protocol's max_iters=10000
+# genuinely buys up to 10240 samples per round when the search has not
+# yet found a confident model, instead of being silently capped at 512.
+_MAX_SUBBATCHES = 32
+
+
+def _n_subbatches(max_iters: int, n_hyp: int) -> int:
+    return int(min(max(-(-int(max_iters) // max(n_hyp, 1)), 1),
+                   _MAX_SUBBATCHES))
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_fit(family_name: str, cfg: EngineConfig, n_pad: int, has_graph: bool):
     family = get_family(family_name)
@@ -142,6 +159,8 @@ def _run(
     with_statistics=False,
     lo_spatial_lambda=0.5,
     n_restarts=1,
+    final_polish=0,
+    progress_callback=None,
 ):
     t0 = time.perf_counter()
     data = np.ascontiguousarray(data, np.float32)
@@ -160,14 +179,18 @@ def _run(
     if graph_data is not None:
         graph_p = np.pad(np.ascontiguousarray(graph_data, np.float32), pad)
 
+    n_hyp = _hyp_budget(
+        max_iters, get_family(family_name).max_solutions, family_name
+    )
     cfg = EngineConfig(
         family=family_name,
-        n_hypotheses=_hyp_budget(
-            max_iters, get_family(family_name).max_solutions, family_name
-        ),
+        n_hypotheses=n_hyp,
+        n_subbatches=_n_subbatches(max_iters, n_hyp),
         sampler_id=int(sampler_id),
         lo_spatial_lambda=lo_spatial_lambda,
         n_restarts=int(n_restarts),
+        final_polish=int(final_polish),
+        live_progress=progress_callback is not None,
     )
     params = make_params(
         threshold=threshold,
@@ -182,13 +205,22 @@ def _run(
     )
     fit_fn = _compiled_fit(family_name, cfg, n_pad, graph_p is not None)
     key = jax.random.PRNGKey(int(random_seed))
-    result = fit_fn(
-        jnp.asarray(data_p), jnp.asarray(mask), jnp.asarray(w), key, params,
-        jnp.asarray(graph_p) if graph_p is not None else jnp.zeros_like(data_p),
-    )
-    descs, labels = engine.compact_result(
-        jax.tree.map(np.asarray, result), n
-    )
+    # The compiled program embeds only the trampoline; the actual consumer
+    # is looked up per call through engine.LIVE_CALLBACK, so one compile
+    # serves every callback (and the cache key stays cfg-only).
+    engine.LIVE_CALLBACK = progress_callback
+    try:
+        result = fit_fn(
+            jnp.asarray(data_p), jnp.asarray(mask), jnp.asarray(w), key,
+            params,
+            jnp.asarray(graph_p) if graph_p is not None
+            else jnp.zeros_like(data_p),
+        )
+        descs, labels = engine.compact_result(
+            jax.tree.map(np.asarray, result), n
+        )
+    finally:
+        engine.LIVE_CALLBACK = None
     processing_time = time.perf_counter() - t0
     if do_logging:
         print(
@@ -245,6 +277,7 @@ def findLines(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    progress_callback=None,
 ):
     """Multi 2D-line fitting. points: [N,2]. Returns ([K,3] (a,b,c), labeling)."""
     points = np.asarray(points, np.float64)
@@ -261,7 +294,7 @@ def findLines(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
-        n_restarts=n_restarts,
+        n_restarts=n_restarts, progress_callback=progress_callback,
     )
     out = descs.astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -286,6 +319,7 @@ def findVanishingPoints(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    progress_callback=None,
 ):
     """Multi vanishing-point fitting. lines: [N,4] segments [xs,ys,xe,ye].
     Returns ([K,3] unit homogeneous VPs, labeling)."""
@@ -303,7 +337,7 @@ def findVanishingPoints(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
-        n_restarts=n_restarts,
+        n_restarts=n_restarts, progress_callback=progress_callback,
     )
     out = descs.astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -329,6 +363,7 @@ def findHomographies(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    progress_callback=None,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
     Returns ([3K,3] stacked row-major 3x3s, labeling)."""
@@ -345,7 +380,7 @@ def findHomographies(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
-        n_restarts=n_restarts,
+        n_restarts=n_restarts, progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -371,6 +406,7 @@ def findTwoViewMotions(
     random_seed=0,
     with_statistics=False,
     n_restarts=5,
+    progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
     Returns ([3K,3] stacked row-major 3x3 F matrices, labeling).
@@ -391,7 +427,7 @@ def findTwoViewMotions(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
-        n_restarts=n_restarts,
+        n_restarts=n_restarts, progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -415,6 +451,7 @@ def findEssentialMatrices(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    progress_callback=None,
 ):
     """Multi essential-matrix fitting (EXTENSION: the reference ships the
     five-point solver and estimator headers, `progressive_x.h:19,24`, but
@@ -450,6 +487,7 @@ def findEssentialMatrices(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, graph_data=corrs,
         with_statistics=with_statistics, n_restarts=n_restarts,
+        progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)
@@ -471,6 +509,7 @@ def find6DPoses(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    progress_callback=None,
 ):
     """Multi 6D-pose fitting from 2D-3D correspondences.
     x1y1: [N,2] pixel coords, x2y2z2: [N,3] world points, K: [3,3].
@@ -506,7 +545,8 @@ def find6DPoses(
         maximum_model_number=maximum_model_number, sampler_id=0,
         scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
         graph_data=graph_data, with_statistics=with_statistics,
-        n_restarts=n_restarts, lo_spatial_lambda=0.0,
+        n_restarts=n_restarts, lo_spatial_lambda=0.0, final_polish=3,
+        progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 4).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

@@ -18,13 +18,14 @@ def bench_main(argv=None):
     from progressivex_tpu.eval.adelaide import throughput_batch
 
     p = argparse.ArgumentParser(description="AdelaideRMF throughput bench")
-    p.add_argument("--reps", type=int, default=8,
-                   help="tile the scene set this many times into one batch")
     p.add_argument("--problems", default="HF", help="subset of 'HF' to run")
+    p.add_argument("--timing-runs", type=int, default=3,
+                   help="timed executions per lane batch (best is reported)")
     args = p.parse_args(argv)
     out = {}
     for prob in args.problems.upper():
-        sps, me, n, full, compile_s = throughput_batch(prob, reps=args.reps)
+        sps, me, n, full, compile_s = throughput_batch(
+            prob, n_timing_runs=args.timing_runs)
         print(
             f"{prob}: {sps:.2f} scenes/s ME={me:.4f} "
             f"(batch={n}, full_dataset={full}, compile={compile_s:.1f}s)",

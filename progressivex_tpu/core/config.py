@@ -74,6 +74,42 @@ class EngineConfig:
     # matmuls are pure HBM-bound and this is a 4-6x traffic cut at N ~ 2k.
     # Edge recall within the band is 97-99% on the AdelaideRMF scenes
     # (measured; small scenes with N <= band are exact). 0 = dense [N, N].
+    live_progress: bool = False  # emit a host callback after every round
+    # with the round's statistics and the current labeling — the TPU-
+    # native counterpart of the reference's ProgressVisualizer hook
+    # (progress_visualizer.h:18-247, called at progressive_x.h:476-480).
+    # The callback rides jax.debug.callback out of the fused program, so
+    # it works inside jit at the cost of a device->host copy per round;
+    # off by default (engine.LIVE_CALLBACK holds the consumer).
+    pallas_scoring: bool = False  # fuse the proposal's residual +
+    # preference + reduction pipeline into the Pallas kernel
+    # (ops/pallas_scoring) for supported families instead of the XLA
+    # vmap-residual path. Semantically identical (parity-tested); enable
+    # where measured faster. Ignored for unsupported families.
+    final_polish: int = 0  # extra per-instance IRLS refit passes on the
+    # FINAL state (after the last round's PEARL + merge): each pass refits
+    # every active instance on its assigned points with truncated-
+    # preference weights and keeps the result only if the truncated
+    # residual sum drops. The pose front end enables this (the PnP
+    # reprojection Gauss-Newton gains real accuracy from extra warm
+    # iterations; see models/pnp._refine) — H/F keep 0 since PEARL's
+    # per-round refits already converge for them.
+    n_subbatches: int = 1  # proposal sub-batches per round: the round's
+    # search draws up to n_subbatches * n_hypotheses minimal samples,
+    # stopping adaptively once the samples drawn exceed the RANSAC
+    # k* = log(1-conf)/log(1 - w^m) of the best hypothesis so far — the
+    # batched form of GC-RANSAC's adaptive termination, which is what the
+    # reference's max_iters bounds (progressivex_python.cpp:271). Typical
+    # scenes satisfy k* within the first sub-batch and pay nothing extra;
+    # hard scenes (no good model yet) keep searching up to the user's
+    # requested budget instead of being silently capped.
+    magsac_levels: int = 0  # sigma-marginalized (MAGSAC++-style) scoring:
+    # 0 keeps reference hard-tau MSAC ranking parity; m > 0 ranks
+    # hypotheses (and weights the LO IRLS) by the preference marginalized
+    # over m noise levels sigma_j = (j/m) sigma_max
+    # (ops/scoring.sigma_marginalized_preference). Acceptance tests
+    # (Tanimoto, inlier counts, compound preference) keep the reference
+    # definitions either way.
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is
     # reduced across the axis (see parallel/sharding.py)

@@ -163,20 +163,156 @@ def _bucket_size(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
+class _LaneBatch:
+    """One padded lane batch: device arrays + the jitted program.
+
+    Split from the timing loop so that all batches' programs can COMPILE
+    IN PARALLEL (XLA compilation releases the GIL; distinct executables
+    compile independently) before any batch is timed — the cold-start cost
+    of a multi-bucket dataset is max(compile) instead of sum(compile).
+    """
+
+    def __init__(self, family, cfg, kw, scenes, names, lane_ids, n_pad,
+                 lanes, n_restarts, seed):
+        import jax
+        import jax.numpy as jnp
+
+        from progressivex_tpu.core.config import make_params
+        from progressivex_tpu.core.engine import fit
+
+        self.names, self.lane_ids = names, lane_ids
+        self.lanes, self.n_restarts, self.seed = lanes, n_restarts, seed
+        self.n_pad = n_pad
+        batch, masks, weights, n_valids, gts = [], [], [], [], []
+        for i in lane_ids:
+            corrs, gt = scenes[i]
+            n = corrs.shape[0]
+            d = np.zeros((n_pad, 4), np.float32)
+            d[:n] = corrs
+            m = np.zeros((n_pad,), bool)
+            m[:n] = True
+            w = np.zeros((n_pad,), np.float32)
+            w[:n] = 1.0
+            batch.append(d)
+            masks.append(m)
+            weights.append(w)
+            n_valids.append(n)
+            gts.append(gt)
+        self.data = jnp.array(np.concatenate([np.stack(batch)] * n_restarts))
+        self.mask = jnp.array(np.concatenate([np.stack(masks)] * n_restarts))
+        self.wts = jnp.array(
+            np.concatenate([np.stack(weights)] * n_restarts))
+        self.nv = jnp.array(np.array(n_valids * n_restarts, np.int32))
+        self.ns = self.data.shape[0]  # = lanes * n_restarts device runs
+        self.n_valids, self.gts = n_valids, gts
+
+        params = make_params(
+            threshold=kw["threshold"], confidence=kw["conf"],
+            spatial_weight=kw["spatial_coherence_weight"],
+            neighborhood_radius=kw["neighborhood_ball_radius"],
+            max_tanimoto=kw["maximum_tanimoto_similarity"],
+            min_inliers=kw["minimum_point_number"],
+            max_models=kw["maximum_model_number"],
+            scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
+        )
+        self.run = jax.jit(jax.vmap(
+            lambda d, m, w, k, nvi: fit(
+                family, cfg, params._replace(n_valid=nvi), d, m, w, k
+            )
+        ))
+
+    def compile(self):
+        """Trigger (and wait for) compilation without timing it as a run."""
+        import jax
+
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
+        res = self.run(self.data, self.mask, self.wts, keys, self.nv)
+        np.asarray(res.n_models)
+
+    def time_and_score(self, problem, n_timing_runs, mes):
+        """Serial timing runs; appends per-scene MEs to `mes`.
+
+        Returns (scenes_counted, best_batch_seconds)."""
+        import jax
+
+        from progressivex_tpu.core.engine import FitResult, compact_result
+
+        lanes, n_restarts = self.lanes, self.n_restarts
+        times = []
+        for i in range(n_timing_runs):
+            k = jax.random.split(
+                jax.random.PRNGKey(self.seed + i + 1), self.ns)
+            t0 = time.perf_counter()
+            res = self.run(self.data, self.mask, self.wts, k, self.nv)
+            np.asarray(res.n_models)  # host fetch = execution barrier
+            times.append(time.perf_counter() - t0)
+            # Quality from EVERY timing run (each uses fresh keys),
+            # keyed BY SCENE: the dataset mean is the unweighted mean of
+            # per-scene means (exactly how the reference notebooks
+            # average), so lane replication for throughput cannot skew
+            # the quality metric toward over-replicated scenes. Among a
+            # lane's restart replicas only the lowest-energy one — the
+            # result a user of the restart API would get — is scored.
+            energy = np.asarray(res.energy).reshape(n_restarts, lanes)
+            pick = np.argmin(energy, axis=0)  # [lanes] winning replica
+            for j in range(lanes):
+                jj = pick[j] * lanes + j  # device row of the winner
+                one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
+                _, labels = compact_result(
+                    FitResult(*one), self.n_valids[j])
+                mes.setdefault(self.names[self.lane_ids[j]], []).append(
+                    misclassification(labels, self.gts[j]))
+        print(
+            f"[progressivex_tpu.eval] {problem} bucket n_pad={self.n_pad}: "
+            f"{lanes} scenes (x{n_restarts} restarts) in "
+            f"{min(times) * 1e3:.1f} ms ({lanes / min(times):.1f} scenes/s)",
+            file=sys.stderr,
+        )
+        return lanes, min(times)
+
+
+def throughput_batch(problem: str, root: str | None = None,
                      n_timing_runs: int = 3, seed: int = 0):
     """Scene-batched throughput measurement — the TPU-native way to run a
     dataset: scenes grouped into size buckets, each bucket one padded
     vmapped device program; throughput = total scenes / summed batch time.
 
+    Throughput counts device lanes, i.e. it is the saturated-batch rate
+    (small scene sets are replicated cyclically to fill the lane target;
+    see the README benchmark note). Per-scene quality averaging is keyed
+    by scene and immune to the replication.
+
     Returns (scenes_per_sec, mean_me, n_scenes_batched, full_dataset,
     compile_seconds).
     """
-    import jax
-    import jax.numpy as jnp
+    lane_batches, full = _prepare_lane_batches(problem, root, seed)
 
-    from progressivex_tpu.core.config import EngineConfig, make_params
-    from progressivex_tpu.core.engine import FitResult, compact_result, fit
+    # Phase 1: compile every bucket program CONCURRENTLY (XLA releases the
+    # GIL during compilation; the executables are independent). Cold-start
+    # cost becomes ~max over buckets instead of their sum.
+    t0 = time.perf_counter()
+    _compile_parallel(lane_batches)
+    compile_s = time.perf_counter() - t0
+
+    # Phase 2: serial timing + scoring.
+    return _time_batches(problem, lane_batches, n_timing_runs, full,
+                         compile_s)
+
+
+def _compile_parallel(lane_batches):
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(lane_batches) > 1:
+        with ThreadPoolExecutor(max_workers=len(lane_batches)) as pool:
+            list(pool.map(lambda b: b.compile(), lane_batches))
+    elif lane_batches:
+        lane_batches[0].compile()
+
+
+def _prepare_lane_batches(problem, root, seed):
+    """Bucket the dataset's scenes and build every lane batch (device
+    arrays + jitted-but-uncompiled programs). Returns (batches, full)."""
+    from progressivex_tpu.core.config import EngineConfig
     from progressivex_tpu.models import get_family
 
     problem = problem.upper()
@@ -185,7 +321,7 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     family = get_family("homography" if problem == "H" else "fundamental")
     scenes = [load_corr_scene(n, root=scene_root) for n in names]
 
-    from progressivex_tpu.api import _hyp_budget
+    from progressivex_tpu.api import _hyp_budget, _n_subbatches
 
     # Restarts are FLATTENED into the scene axis (engine n_restarts stays
     # 1): each lane is replicated n_restarts times with decorrelated keys
@@ -194,11 +330,11 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     # XLA TPU memory-space-assignment check-fail above ~32 scene lanes;
     # the flat batch is also the better TPU program (one wide vmap).
     n_restarts = int(kw.get("n_restarts", 1))
+    n_hyp = _hyp_budget(kw["max_iters"], family.max_solutions, family.name)
     cfg = EngineConfig(
         family=family.name,
-        n_hypotheses=_hyp_budget(
-            kw["max_iters"], family.max_solutions, family.name
-        ),
+        n_hypotheses=n_hyp,
+        n_subbatches=_n_subbatches(kw["max_iters"], n_hyp),
         sampler_id=int(kw["sampler_id"]),
     )
 
@@ -206,10 +342,7 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
     for i, (corrs, _) in enumerate(scenes):
         buckets.setdefault(_bucket_size(corrs.shape[0]), []).append(i)
 
-    total_scenes = 0
-    total_time = 0.0
-    compile_s = 0.0
-    mes: dict[str, list] = {}
+    lane_batches = []
     for n_pad in sorted(buckets):
         idxs = buckets[n_pad]
         # Target a 64-lane power-of-two batch per bucket: below ~64 lanes
@@ -232,82 +365,32 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
         max_rows = min(768, (384 * 4095) // max(flat_hyp, 1))
         while target * n_restarts > max_rows and target > 64:
             target //= 2
-        # Fill the batch to the target (cyclic replication below), growing
-        # only if the bucket itself has more scenes than the target.
+        # Fill the batch to the target (cyclic replication below). A bucket
+        # holding more scenes than the target grows the lane count, but
+        # never past the HBM row budget — oversize buckets are processed
+        # in chunks of `lanes` scenes instead (the same compiled program
+        # runs once per chunk).
         lanes = max(target, 1 << (len(idxs) - 1).bit_length())
-        lane_ids = [idxs[j % len(idxs)] for j in range(lanes)]
-        batch, masks, weights, n_valids, gts = [], [], [], [], []
-        for i in lane_ids:
-            corrs, gt = scenes[i]
-            n = corrs.shape[0]
-            d = np.zeros((n_pad, 4), np.float32)
-            d[:n] = corrs
-            m = np.zeros((n_pad,), bool)
-            m[:n] = True
-            w = np.zeros((n_pad,), np.float32)
-            w[:n] = 1.0
-            batch.append(d)
-            masks.append(m)
-            weights.append(w)
-            n_valids.append(n)
-            gts.append(gt)
-        data = jnp.array(np.concatenate([np.stack(batch)] * n_restarts))
-        mask = jnp.array(np.concatenate([np.stack(masks)] * n_restarts))
-        wts = jnp.array(np.concatenate([np.stack(weights)] * n_restarts))
-        nv = jnp.array(np.array(n_valids * n_restarts, np.int32))
-        ns = data.shape[0]  # = lanes * n_restarts device runs
+        while lanes * n_restarts > max_rows and lanes > 64:
+            lanes //= 2
+        chunks = [idxs[c: c + lanes] for c in range(0, len(idxs), lanes)] \
+            if len(idxs) > lanes else [idxs]
+        for chunk in chunks:
+            lane_ids = [chunk[j % len(chunk)] for j in range(lanes)]
+            lane_batches.append(_LaneBatch(
+                family, cfg, kw, scenes, names, lane_ids, n_pad, lanes,
+                n_restarts, seed))
+    return lane_batches, full
 
-        params = make_params(
-            threshold=kw["threshold"], confidence=kw["conf"],
-            spatial_weight=kw["spatial_coherence_weight"],
-            neighborhood_radius=kw["neighborhood_ball_radius"],
-            max_tanimoto=kw["maximum_tanimoto_similarity"],
-            min_inliers=kw["minimum_point_number"],
-            max_models=kw["maximum_model_number"],
-            scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
-        )
-        run = jax.jit(jax.vmap(
-            lambda d, m, w, k, nvi: fit(
-                family, cfg, params._replace(n_valid=nvi), d, m, w, k
-            )
-        ))
-        keys = jax.random.split(jax.random.PRNGKey(seed), ns)
 
-        t0 = time.perf_counter()
-        res = run(data, mask, wts, keys, nv)
-        np.asarray(res.n_models)
-        compile_s += time.perf_counter() - t0
-
-        times = []
-        for i in range(n_timing_runs):
-            k = jax.random.split(jax.random.PRNGKey(seed + i + 1), ns)
-            t0 = time.perf_counter()
-            res = run(data, mask, wts, k, nv)
-            np.asarray(res.n_models)  # host fetch = hard execution barrier
-            times.append(time.perf_counter() - t0)
-            # Quality from EVERY timing run (each uses fresh keys),
-            # keyed BY SCENE: the dataset mean is the unweighted mean of
-            # per-scene means (exactly how the reference notebooks
-            # average), so lane replication for throughput cannot skew
-            # the quality metric toward over-replicated scenes. Among a
-            # lane's restart replicas only the lowest-energy one — the
-            # result a user of the restart API would get — is scored.
-            energy = np.asarray(res.energy).reshape(n_restarts, lanes)
-            pick = np.argmin(energy, axis=0)  # [lanes] winning replica
-            for j in range(lanes):
-                jj = pick[j] * lanes + j  # device row of the winning replica
-                one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
-                _, labels = compact_result(FitResult(*one), n_valids[j])
-                mes.setdefault(names[lane_ids[j]], []).append(
-                    misclassification(labels, gts[j]))
-        total_scenes += lanes
-        total_time += min(times)
-        print(
-            f"[progressivex_tpu.eval] {problem} bucket n_pad={n_pad}: "
-            f"{lanes} scenes (x{n_restarts} restarts) in "
-            f"{min(times) * 1e3:.1f} ms ({lanes / min(times):.1f} scenes/s)",
-            file=sys.stderr,
-        )
+def _time_batches(problem, lane_batches, n_timing_runs, full, compile_s):
+    total_scenes = 0
+    total_time = 0.0
+    mes: dict[str, list] = {}
+    for b in lane_batches:
+        cs, tt = b.time_and_score(problem, n_timing_runs, mes)
+        total_scenes += cs
+        total_time += tt
     scenes_per_s = total_scenes / total_time
     for name_, v in sorted(mes.items()):
         print(f"[progressivex_tpu.eval] {problem} {name_}: "
@@ -315,3 +398,24 @@ def throughput_batch(problem: str, root: str | None = None, reps: int = 8,
               file=sys.stderr)
     mean_me = float(np.mean([np.mean(v) for v in mes.values()]))
     return scenes_per_s, mean_me, total_scenes, full, compile_s
+
+
+def throughput_all(problems="HF", root: str | None = None,
+                   n_timing_runs: int = 3, seed: int = 0):
+    """Run several problems with ONE parallel compile phase across all of
+    their bucket programs — the bench entry point. Cold start pays
+    ~max(compile over every program) instead of the per-problem sums.
+
+    Returns {problem: (scenes_per_sec, mean_me, n_scenes, full)} plus the
+    total compile wall seconds as the second tuple element.
+    """
+    prepared = {
+        p: _prepare_lane_batches(p, root, seed) for p in problems.upper()
+    }
+    t0 = time.perf_counter()
+    _compile_parallel([b for lbs, _ in prepared.values() for b in lbs])
+    compile_s = time.perf_counter() - t0
+    out = {}
+    for p, (lbs, full) in prepared.items():
+        out[p] = _time_batches(p, lbs, n_timing_runs, full, compile_s)
+    return out, compile_s

@@ -12,7 +12,12 @@ RoundLog (core/engine.py) and this module renders
     (`draw_labeling`, the MultiHomographyVisualizer analog — colored
     matches over one or two images, or bare scatter when no images), and
   * the round-by-round trajectory of the fit (`draw_round_log`: proposal
-    score/support, Tanimoto, PEARL energy, live instance count).
+    score/support, Tanimoto, PEARL energy, live instance count), and
+  * a LIVE per-round view (`LiveProgress`): pass one as
+    `progress_callback=` to any find* function and it renders (or logs)
+    the evolving labeling after every engine round — the direct analog of
+    the reference's step-wise visualizer hook, riding jax.debug.callback
+    out of the fused program.
 
 Matplotlib only, imported lazily; every function accepts `save=` to write
 a PNG (headless-friendly) or shows the figure interactively otherwise.
@@ -134,3 +139,48 @@ def draw_round_log(stats, title=None, save=None):
         return save
     plt.show()
     return None
+
+
+class LiveProgress:
+    """Per-round live view: pass an instance as `progress_callback=` to a
+    find* function (the ProgressVisualizer-hook analog,
+    progress_visualizer.h:18-247 / progressive_x.h:476-480).
+
+    Modes:
+      * data given  -> renders the evolving labeling to `save_pattern`
+        (e.g. "round_{round:02d}.png") or an interactive window,
+      * no data     -> logs one line per round to stderr.
+
+    The callback runs on the host while the device program continues, so
+    heavy rendering does not stall the fit (jax.debug.callback semantics).
+    """
+
+    def __init__(self, data=None, save_pattern=None, log=True):
+        self.data = None if data is None else np.asarray(data)
+        self.save_pattern = save_pattern
+        self.log = log
+        self.events = []
+
+    def __call__(self, ev):
+        self.events.append(ev)
+        if self.log:
+            import sys
+
+            print(
+                f"[progressivex_tpu] round {ev['round']}: "
+                f"{'accepted' if ev['accepted'] else 'rejected'} "
+                f"support={ev['inliers']} tanimoto={ev['tanimoto']:.3f} "
+                f"energy={ev['energy']:.4g} instances={ev['n_active']}",
+                file=sys.stderr,
+            )
+        if self.data is not None:
+            save = (
+                self.save_pattern.format(round=ev["round"])
+                if self.save_pattern else None
+            )
+            n = self.data.shape[0]
+            draw_labeling(
+                self.data, np.asarray(ev["labels"])[:n],
+                title=f"round {ev['round']}: {ev['n_active']} instances",
+                save=save,
+            )
