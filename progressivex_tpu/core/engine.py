@@ -243,9 +243,13 @@ def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
 
     def sub_cond(carry):
         _, _, _, _, raw_inl, s = carry
+        # Iteration accounting counts MINIMAL SAMPLES (b_samples per
+        # sub-batch), matching the reference's iteration_number — not the
+        # flattened hypothesis axis (a 7-point sample yields up to 3
+        # hypotheses but is still one RANSAC iteration).
         return (s < n_sub) & (
             (s == 0)
-            | (s.astype(jnp.float32) * float(bs) < k_star(raw_inl))
+            | (s.astype(jnp.float32) * float(b_samples) < k_star(raw_inl))
         )
 
     init = (
@@ -264,7 +268,7 @@ def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
     else:
         cand_descs, cand_scores, raw_desc, raw_score, raw_inl, s_done = (
             lax.while_loop(sub_cond, sub_body, init))
-    samples_drawn = s_done * bs
+    samples_drawn = s_done * b_samples
 
     any_adm = jnp.max(cand_scores) > _NEG / 2
     # Local optimization runs on the TOP-T admissible candidates across

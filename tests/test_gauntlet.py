@@ -113,7 +113,8 @@ def test_gauntlet_five_planes_sixty_pct_outliers():
     k = descs.shape[0] // 3
     me = misclassification(labels, gt)
     assert k >= 4, f"found {k} of 5 structures"
-    assert me <= 0.30, f"misclassification {me:.3f}"
+    # Measured: 5 structures, ME 0.049 (seed 1) — gate at ~4x margin.
+    assert me <= 0.20, f"misclassification {me:.3f}"
 
 
 def test_gauntlet_near_degenerate_planes():
@@ -127,7 +128,8 @@ def test_gauntlet_near_degenerate_planes():
     # everything else outlier, nor explodes.
     k = descs.shape[0] // 3
     assert k >= 1
-    assert me <= 0.45, f"misclassification {me:.3f}"
+    # Measured: 2 structures, ME 0.236 — gate leaves headroom for seed noise.
+    assert me <= 0.40, f"misclassification {me:.3f}"
 
 
 def test_gauntlet_three_motions():
@@ -137,7 +139,8 @@ def test_gauntlet_three_motions():
     k = descs.shape[0] // 3
     me = misclassification(labels, gt)
     assert k >= 2, f"found {k} of 3 motions"
-    assert me <= 0.35, f"misclassification {me:.3f}"
+    # Measured: 2 of 3 motions separated, ME 0.195.
+    assert me <= 0.30, f"misclassification {me:.3f}"
 
 
 def test_gauntlet_dataset_max_scale():

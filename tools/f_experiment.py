@@ -65,10 +65,10 @@ def main():
     )
     for kv in args.cfg:
         k, v = kv.split("=", 1)
-        fld = EngineConfig.__dataclass_fields__[k]
-        cfg_kw[k] = (fld.type in ("float", float) and float(v)) or (
-            v if fld.type in ("str", str) else
-            (float(v) if "." in v else int(v)))
+        if v in ("True", "False"):
+            cfg_kw[k] = v == "True"
+        else:
+            cfg_kw[k] = float(v) if "." in v else int(v)
     cfg = EngineConfig(**cfg_kw)
     print(f"cfg: {cfg}", file=sys.stderr)
 
