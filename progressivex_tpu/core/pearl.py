@@ -29,7 +29,6 @@ from jax import lax
 from progressivex_tpu.core.config import EngineConfig, RuntimeParams, truncated_sq_threshold
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops import labeling as labeling_ops
-from progressivex_tpu.ops.scoring import sigma_marginalized_preference
 
 _BIG_COST = 1e18
 
@@ -105,17 +104,13 @@ def pearl_run(
         # residual sum and were vetoed, leaving fits loose enough that the
         # label-cost deletion test killed genuine structures — the
         # breadcube K=1 collapse).
-        # Sigma-marginalized IRLS weights when MAGSAC-style scoring is on
-        # (cfg.magsac_levels): concentrates refit weight on tight
-        # residuals — the sigma-consensus polish applied to PEARL's
-        # alternation, consistent with the proposal LO's weighting.
-        def irls_w(r2m):
-            if cfg.magsac_levels > 0:
-                return sigma_marginalized_preference(
-                    r2m, trunc_sq, cfg.magsac_levels)
-            return jnp.maximum(0.0, 1.0 - r2m / trunc_sq)
-
-        pref_w = irls_w(r2)  # [K, N]
+        # NB: refit weights stay on the TRUNCATED preference even when
+        # sigma-marginalized RANKING is enabled (cfg.magsac_levels) —
+        # measured on AdelaideRMF-F: sigma-marginalized IRLS weights here
+        # overweight the tightest residuals and let refits drift onto
+        # sub-clusters (mean ME 0.0245 -> 0.0479). Ranking and refitting
+        # want different weightings.
+        pref_w = jnp.maximum(0.0, 1.0 - r2 / trunc_sq)  # [K, N]
         fit_w = onehot.T.astype(data.dtype) * point_weights[None, :]  # [K, N]
         new_descs, fit_ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
             data, fit_w * pref_w, descs
@@ -140,7 +135,7 @@ def pearl_run(
         # step, and even the homography's closed-form LSQ tightens because
         # the PREFERENCE weights change (unihouse mean ME 0.21 -> 0.17
         # with the second pass). Cost is ~10% of a large-scene fit.
-        pref_mid = irls_w(r2_mid)
+        pref_mid = jnp.maximum(0.0, 1.0 - r2_mid / trunc_sq)
         descs2, ok2 = jax.vmap(family.refit, in_axes=(None, 0, 0))(
             data, fit_w * pref_mid, new_descs
         )
