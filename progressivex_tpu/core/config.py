@@ -94,6 +94,21 @@ class EngineConfig:
     # reprojection Gauss-Newton gains real accuracy from extra warm
     # iterations; see models/pnp._refine) — H/F keep 0 since PEARL's
     # per-round refits already converge for them.
+    unroll_icm: bool = False  # unroll ICM's convergence while_loop into
+    # icm_sweeps predicated steps (ops/labeling.icm_sweeps): same labels,
+    # one less loop level for the TPU backend's memory-space-assignment
+    # pass (the cold-compile driver of the deeply nested fit program).
+    unroll_pearl: bool = False  # same trade for PEARL's alternation loop
+    # (core/pearl.pearl_run): pearl_iters predicated iterations instead of
+    # a convergence while_loop.
+    final_relabel: int = 0  # ICM sweeps against the FINAL descriptors
+    # (after merge_pass + final_polish): PEARL's last labeling predates the
+    # merge reassignments and the polish refits, so boundary points can sit
+    # on the label their PRE-polish model preferred. A warm-started relabel
+    # of the same energy against the final models moves exactly those
+    # points (the instance set is fixed, so the argmin-init rationale of
+    # pearl_run does not apply). 0 = off (reference parity: the reference
+    # also returns PEARL's last labeling unchanged).
     n_subbatches: int = 1  # proposal sub-batches per round: the round's
     # search draws up to n_subbatches * n_hypotheses minimal samples,
     # stopping adaptively once the samples drawn exceed the RANSAC

@@ -52,6 +52,7 @@ from progressivex_tpu.ops.labeling import (
     adjacency_banded,
     adjacency_from_knn,
     data_costs,
+    icm_sweeps,
     labeling_energy,
     neighbor_mean,
 )
@@ -769,6 +770,18 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
             family, cfg, params, data, point_mask, point_weights,
             state.descs, state.active, state.labels,
         ))
+    if cfg.final_relabel > 0:
+        # Relabel against the FINAL descriptors (see config.final_relabel):
+        # warm-started ICM of the same PEARL energy, moving only the
+        # boundary points whose best model changed under the merge/polish.
+        trunc_sq = truncated_sq_threshold(params.threshold)
+        r2_f = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+            data, state.descs)
+        dcost_f = data_costs(r2_f, state.active, point_mask,
+                             params.spatial_weight, trunc_sq)
+        labels_f, _ = icm_sweeps(dcost_f, state.labels, adj,
+                                 params.spatial_weight, cfg.final_relabel)
+        state = state._replace(labels=labels_f)
     return FitResult(
         descs=state.descs,
         active=state.active,

@@ -85,7 +85,7 @@ def pearl_run(
         # the sweeps then enforce spatial coherence at the boundaries.
         init = jnp.argmin(dcost, axis=0).astype(jnp.int32)
         labels, energy = labeling_ops.icm_sweeps(
-            dcost, init, adj, w, cfg.icm_sweeps
+            dcost, init, adj, w, cfg.icm_sweeps, unroll=cfg.unroll_icm
         )
 
         # --- 2. per-instance refit (vmapped over slots) ---
@@ -271,8 +271,19 @@ def pearl_run(
     # to convergence (PEARL.h:421-422,:463-467); under vmap a batch of
     # scenes pays max-iterations-needed, not the worst-case cap, and a
     # converged (or round-rejected, hence unchanged) scene exits after one
-    # cheap verification iteration.
-    descs, active, labels, _, energy, _, _ = lax.while_loop(cond, iteration, init)
+    # cheap verification iteration. cfg.unroll_pearl trades the loop for
+    # pearl_iters predicated iterations (flatter compile graph, same
+    # result — a converged carry passes through unchanged).
+    if cfg.unroll_pearl:
+        carry = init
+        for _ in range(cfg.pearl_iters):
+            new = iteration(carry)
+            keep = carry[6]
+            carry = tuple(jnp.where(keep, n, c) for n, c in zip(new, carry))
+        descs, active, labels, _, energy, _, _ = carry
+    else:
+        descs, active, labels, _, energy, _, _ = lax.while_loop(
+            cond, iteration, init)
     return PearlResult(descs, active, labels, energy)
 
 

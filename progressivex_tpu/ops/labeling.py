@@ -253,7 +253,8 @@ def _local_costs(dcost, labels, adj, deg, spatial_weight):
     return dcost + potts
 
 
-def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int):
+def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int,
+               unroll: bool = False):
     """Run up to n_sweeps checkerboard ICM sweeps with change detection;
     returns (labels, energy).
 
@@ -262,6 +263,12 @@ def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int):
     gco stops when no move helps). Under `vmap` the while_loop runs until
     every lane converges and applies masked updates, so a batch of scenes
     pays the DEEPEST scene's sweep count, not n_sweeps, per labeling call.
+
+    `unroll=True` replaces the while_loop with n_sweeps predicated steps
+    (a converged labeling carries through unchanged) — semantically
+    identical, but one less loop level for the TPU backend's
+    memory-space-assignment pass, which dominates cold compiles of the
+    deeply nested fit program (see EngineConfig.unroll_icm).
 
     When spatial_weight == 0 this reduces to the argmin over data costs
     (exactly the reference behavior of a Potts-free labeling) and exits
@@ -286,9 +293,18 @@ def icm_sweeps(dcost, labels, adj, spatial_weight, n_sweeps: int):
         new = half_sweep(new, ~parity)
         return new, jnp.any(new != labels), sweep + 1
 
-    labels, _, _ = lax.while_loop(
-        cond, body, (labels, jnp.ones((), bool), jnp.int32(0))
-    )
+    if unroll:
+        carry = (labels, jnp.ones((), bool), jnp.int32(0))
+        for _ in range(n_sweeps):
+            new = body(carry)
+            keep = carry[1]
+            carry = (jnp.where(keep, new[0], carry[0]),
+                     keep & new[1], new[2])
+        labels = carry[0]
+    else:
+        labels, _, _ = lax.while_loop(
+            cond, body, (labels, jnp.ones((), bool), jnp.int32(0))
+        )
     energy = labeling_energy(dcost, labels, adj, spatial_weight)
     return labels, energy
 
