@@ -176,7 +176,9 @@ def _run(
     lo_spatial_lambda=0.5,
     n_restarts=1,
     final_polish=0,
+    final_relabel=0,
     magsac_levels=0,
+    restart_rule="energy",
     progress_callback=None,
 ):
     t0 = time.perf_counter()
@@ -207,7 +209,9 @@ def _run(
         lo_spatial_lambda=lo_spatial_lambda,
         n_restarts=int(n_restarts),
         final_polish=int(final_polish),
+        final_relabel=int(final_relabel),
         magsac_levels=int(magsac_levels),
+        restart_rule=str(restart_rule),
         live_progress=progress_callback is not None,
     )
     params = make_params(
@@ -382,6 +386,7 @@ def findHomographies(
     with_statistics=False,
     n_restarts=1,
     magsac_levels=4,
+    final_relabel=2,
     progress_callback=None,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
@@ -392,7 +397,11 @@ def findHomographies(
     measured on the bundled AdelaideRMF-H scenes at mean ME 0.045-0.032
     (bench-scale vs 32-lane runs) vs 0.053-0.045 for hard-threshold
     ranking, at equal device time; 0 restores MSAC ranking parity with
-    the reference."""
+    the reference.
+    `final_relabel` (extension kwarg, config.final_relabel) defaults to
+    2: warm-started ICM against the final descriptors after merge/polish
+    (measured 0.0311 vs 0.0318 mean ME on the bundled H scenes at equal
+    device time); 0 returns PEARL's last labeling (reference parity)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
         raise ValueError("corrs should be an array with dims [n,4], n>=4")
@@ -407,6 +416,7 @@ def findHomographies(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
         n_restarts=n_restarts, magsac_levels=magsac_levels,
+        final_relabel=final_relabel,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
@@ -434,6 +444,8 @@ def findTwoViewMotions(
     with_statistics=False,
     n_restarts=5,
     magsac_levels=4,
+    final_relabel=2,
+    restart_rule="energy",
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -446,7 +458,22 @@ def findTwoViewMotions(
     hypothesis ranking (ops/scoring.sigma_marginalized_preference),
     measured to eliminate the catastrophic-labeling tail on the
     AdelaideRMF-F scenes (max per-run ME 0.53 -> 0.08) at identical
-    device time; 0 restores hard-threshold MSAC ranking parity."""
+    device time; 0 restores hard-threshold MSAC ranking parity.
+    `final_relabel` (extension kwarg, config.final_relabel) defaults to 2:
+    warm-started ICM sweeps of the PEARL energy against the FINAL
+    descriptors, after the merge pass and any polish refits. Measured on
+    the bundled AdelaideRMF-F protocol (32 lanes x 5 restarts x 3 seeds):
+    mean ME 0.0312 -> 0.0246 (cubetoy per-run max 0.51 -> 0.064) at equal
+    device time; 4 sweeps change nothing further (converged at 2). 0
+    returns PEARL's last labeling unchanged (reference parity).
+    `restart_rule` (extension kwarg, config.restart_rule) defaults to
+    "energy" (argmin final total energy). The alternative "agreement"
+    blends the energy rank with a peer-agreement rank (Tanimoto of each
+    restart's compound preference against the others,
+    engine.select_restart); it won on CPU-generated run pools (mean ME
+    0.0192 vs 0.0205) but measured WORSE on-device at protocol scale
+    (0.0394 vs 0.0246, selection-only A/B on the same compiled program),
+    so it is not the default."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
@@ -461,6 +488,7 @@ def findTwoViewMotions(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
         n_restarts=n_restarts, magsac_levels=magsac_levels,
+        final_relabel=final_relabel, restart_rule=restart_rule,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)

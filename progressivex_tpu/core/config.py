@@ -84,8 +84,13 @@ class EngineConfig:
     pallas_scoring: bool = False  # fuse the proposal's residual +
     # preference + reduction pipeline into the Pallas kernel
     # (ops/pallas_scoring) for supported families instead of the XLA
-    # vmap-residual path. Semantically identical (parity-tested); enable
-    # where measured faster. Ignored for unsupported families.
+    # vmap-residual path. Semantically identical (parity-tested). Off by
+    # default by measurement: on the bundled AdelaideRMF protocols (32
+    # lanes x 3 seeds, identical MEs) the kernel ran F 683 ms vs 670 ms
+    # and H 130 ms vs 119 ms per batch — XLA's own fusion of the
+    # [B, N] scoring pipeline already saturates the chip here, so the
+    # hand kernel only adds launch overhead. Ignored for unsupported
+    # families.
     final_polish: int = 0  # extra per-instance IRLS refit passes on the
     # FINAL state (after the last round's PEARL + merge): each pass refits
     # every active instance on its assigned points with truncated-
@@ -109,6 +114,17 @@ class EngineConfig:
     # points (the instance set is fixed, so the argmin-init rationale of
     # pearl_run does not apply). 0 = off (reference parity: the reference
     # also returns PEARL's last labeling unchanged).
+    restart_rule: str = "energy"  # how the winner is picked among
+    # n_restarts independent runs: "energy" = argmin final total energy
+    # (the reference-style objective-only policy, and the default by
+    # measurement); "agreement" = argmin of (energy rank + peer-agreement
+    # rank), agreement being the restart's summed Tanimoto similarity to
+    # the other restarts' compound preferences (engine.select_restart).
+    # "agreement" beat "energy" on CPU-generated 48-run pools (mean ME
+    # 0.0192 vs 0.0205) but LOST the on-device protocol A/B at 32 lanes x
+    # 5 restarts (0.0394 vs 0.0246, same compiled program): catastrophic
+    # F basins recur across restarts and agree with each other, and on
+    # device they recur often enough to win the agreement rank.
     n_subbatches: int = 1  # proposal sub-batches per round: the round's
     # search draws up to n_subbatches * n_hypotheses minimal samples,
     # stopping adaptively once the samples drawn exceed the RANSAC

@@ -137,6 +137,10 @@ class FitResult(NamedTuple):
     # costs — the objective PEARL minimizes); comparable across runs of
     # the same scene, used to select among independent restarts
     round_log: RoundLog
+    compound_pref: jnp.ndarray  # [N] compound preference of the FINAL
+    # descriptors (max over active instances of the truncated preference;
+    # progx_model.h:70-87) — a label-permutation-free run signature used
+    # by the "agreement" restart rule (see config.restart_rule)
 
 
 def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
@@ -578,7 +582,8 @@ def fit(
                 k, samp_idx, samp_mask, adj, rank,
             )
         )(keys)
-        best = jnp.argmin(results.energy)
+        best = select_restart(results.energy, results.compound_pref,
+                              cfg.restart_rule)
         result = jax.tree.map(lambda x: x[best], results)
     else:
         result = _fit_prepared(
@@ -589,6 +594,45 @@ def fit(
         # Back to the caller's point order (one [N] gather, once per fit).
         result = result._replace(labels=result.labels[rank])
     return result
+
+
+def select_restart(energy, compound_pref, rule: str):
+    """Pick the winning restart index from per-restart final energies
+    [R] and compound preferences [R, N] (see config.restart_rule).
+
+    "energy": argmin total energy (the default — see below).
+    "agreement": argmin of (energy rank + peer-agreement rank), where a
+    restart's agreement is the sum of Tanimoto similarities between its
+    compound preference and every other restart's — the idea being that
+    a bad local optimum (split/collapsed/bridged structure) is an
+    OUTLIER among its peers even when its energy is competitive, and the
+    preference vector is a label-permutation-free signature to compare
+    runs by.
+
+    Measurement (AdelaideRMF-F bundled scenes): the rank blend won on
+    CPU-generated 48-run pools (mean ME 0.0192 vs 0.0205 for
+    energy-only, oracle best-of-5 0.0146) but LOST the on-device
+    protocol A/B at 32 lanes x 5 restarts with the same compiled
+    program (0.0394 vs 0.0246): the catastrophic basins recur across
+    on-device restarts often enough to agree with each other and win
+    the agreement rank, flipping the sign of the effect. "energy" stays
+    the default; the rule is kept as an option and as the measured
+    record. Works on jnp or np inputs.
+    """
+    if rule == "energy" or energy.shape[0] == 1:
+        return jnp.argmin(energy)
+    if rule != "agreement":
+        raise ValueError(f"unknown restart_rule {rule!r}")
+    p = jnp.asarray(compound_pref, jnp.float32)
+    g = p @ p.T  # [R, R] dot products
+    sq = jnp.diagonal(g)
+    tan = g / jnp.maximum(sq[:, None] + sq[None, :] - g, 1e-9)
+    agree = jnp.sum(tan, axis=1) - jnp.diagonal(tan)
+    rank_e = jnp.sum(energy[:, None] > energy[None, :], axis=1)
+    rank_a = jnp.sum(agree[:, None] < agree[None, :], axis=1)
+    n_r = energy.shape[0]
+    # Integer blend with an energy-rank tie-break.
+    return jnp.argmin((rank_e + rank_a) * (n_r + 1) + rank_e)
 
 
 def _final_polish(family, cfg, params, data, pmask, pweights, descs, active,
@@ -770,18 +814,22 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
             family, cfg, params, data, point_mask, point_weights,
             state.descs, state.active, state.labels,
         ))
+    # Residuals of the FINAL descriptors (post merge/polish): shared by the
+    # final relabel and the returned compound preference.
+    trunc_sq_f = truncated_sq_threshold(params.threshold)
+    r2_f = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+        data, state.descs)
     if cfg.final_relabel > 0:
         # Relabel against the FINAL descriptors (see config.final_relabel):
         # warm-started ICM of the same PEARL energy, moving only the
         # boundary points whose best model changed under the merge/polish.
-        trunc_sq = truncated_sq_threshold(params.threshold)
-        r2_f = jax.vmap(family.squared_residual, in_axes=(None, 0))(
-            data, state.descs)
         dcost_f = data_costs(r2_f, state.active, point_mask,
-                             params.spatial_weight, trunc_sq)
+                             params.spatial_weight, trunc_sq_f)
         labels_f, _ = icm_sweeps(dcost_f, state.labels, adj,
                                  params.spatial_weight, cfg.final_relabel)
         state = state._replace(labels=labels_f)
+    pref_f = (truncated_preference(r2_f, trunc_sq_f)
+              * state.active[:, None] * point_mask[None, :])
     return FitResult(
         descs=state.descs,
         active=state.active,
@@ -794,6 +842,7 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
             state.descs, state.active, state.labels,
         ),
         round_log=log,
+        compound_pref=jnp.max(pref_f, axis=0, initial=0.0),
     )
 
 

@@ -52,6 +52,9 @@ H_PROTOCOL = dict(
     # (384 runs/scene) gave 0.0448 vs round-1's 0.0527 at identical
     # throughput (379 scenes/s). Matches the findHomographies default.
     magsac_levels=4,
+    # Extension (config.final_relabel): measured 0.0311 vs 0.0318 (32
+    # lanes x 3 seeds) at equal batch time; matches findHomographies.
+    final_relabel=2,
 )
 F_PROTOCOL = dict(
     threshold=0.75, conf=0.5, spatial_coherence_weight=0.5,
@@ -70,6 +73,17 @@ F_PROTOCOL = dict(
     # 0.53 -> 0.08) at identical batch time; matches the
     # findTwoViewMotions default.
     magsac_levels=4,
+    # config.restart_rule stays "energy": the peer-agreement rank blend
+    # (engine.select_restart) won on CPU-generated 48-run pools (0.0192
+    # vs 0.0205) but LOST on-device at protocol scale (same compiled
+    # program, selection-only A/B: 0.0394 vs 0.0246 — it picks recurring
+    # catastrophic basins that agree with each other on breadcube and
+    # cubetoy).
+    # Extension (config.final_relabel): ICM against the FINAL descriptors
+    # after merge/polish. Measured on the same sweep: mean ME 0.0312 ->
+    # 0.0246 (cubetoy per-run max 0.51 -> 0.064) at equal batch time;
+    # matches the findTwoViewMotions default.
+    final_relabel=2,
 )
 
 
@@ -196,6 +210,7 @@ class _LaneBatch:
         self.names, self.lane_ids = names, lane_ids
         self.lanes, self.n_restarts, self.seed = lanes, n_restarts, seed
         self.n_pad = n_pad
+        self.restart_rule = str(kw.get("restart_rule", "energy"))
         batch, masks, weights, n_valids, gts = [], [], [], [], []
         for i in lane_ids:
             corrs, gt = scenes[i]
@@ -264,10 +279,19 @@ class _LaneBatch:
             # per-scene means (exactly how the reference notebooks
             # average), so lane replication for throughput cannot skew
             # the quality metric toward over-replicated scenes. Among a
-            # lane's restart replicas only the lowest-energy one — the
-            # result a user of the restart API would get — is scored.
+            # lane's restart replicas only the winner under the protocol's
+            # restart rule (engine.select_restart) — the result a user of
+            # the restart API would get — is scored.
+            from progressivex_tpu.core.engine import select_restart
+
             energy = np.asarray(res.energy).reshape(n_restarts, lanes)
-            pick = np.argmin(energy, axis=0)  # [lanes] winning replica
+            pref = np.asarray(res.compound_pref).reshape(
+                n_restarts, lanes, -1)
+            pick = np.array([
+                int(select_restart(energy[:, j], pref[:, j],
+                                   self.restart_rule))
+                for j in range(lanes)
+            ])
             for j in range(lanes):
                 jj = pick[j] * lanes + j  # device row of the winner
                 one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
@@ -300,11 +324,13 @@ def throughput_batch(problem: str, root: str | None = None,
     """
     lane_batches, full = _prepare_lane_batches(problem, root, seed)
 
-    # Phase 1: compile every bucket program CONCURRENTLY (XLA releases the
-    # GIL during compilation; the executables are independent). Cold-start
-    # cost becomes ~max over buckets instead of their sum.
+    # Phase 1: compile every bucket program SEQUENTIALLY. Measured on the
+    # tunneled v5e: the remote compile service reuses work across back-to-
+    # back compiles of sibling bucket programs (H cold: 127.5s + 34.1s =
+    # 161.6s sequential vs 741-802s for two concurrent compiles — the
+    # concurrent requests thrash the service instead of sharing it).
     t0 = time.perf_counter()
-    _compile_parallel(lane_batches)
+    _compile_sequential(lane_batches)
     compile_s = time.perf_counter() - t0
 
     # Phase 2: serial timing + scoring.
@@ -312,14 +338,9 @@ def throughput_batch(problem: str, root: str | None = None,
                          compile_s)
 
 
-def _compile_parallel(lane_batches):
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(lane_batches) > 1:
-        with ThreadPoolExecutor(max_workers=len(lane_batches)) as pool:
-            list(pool.map(lambda b: b.compile(), lane_batches))
-    elif lane_batches:
-        lane_batches[0].compile()
+def _compile_sequential(lane_batches):
+    for b in lane_batches:
+        b.compile()
 
 
 def _prepare_lane_batches(problem, root, seed):
@@ -350,6 +371,7 @@ def _prepare_lane_batches(problem, root, seed):
         n_subbatches=_n_subbatches(kw["max_iters"], n_hyp),
         sampler_id=int(kw["sampler_id"]),
         magsac_levels=int(kw.get("magsac_levels", 0)),
+        final_relabel=int(kw.get("final_relabel", 0)),
     )
 
     buckets: dict[int, list[int]] = {}
@@ -417,8 +439,10 @@ def _time_batches(problem, lane_batches, n_timing_runs, full, compile_s):
 def throughput_all(problems="HF", root: str | None = None,
                    n_timing_runs: int = 3, seed: int = 0):
     """Run several problems with ONE parallel compile phase across all of
-    their bucket programs — the bench entry point. Cold start pays
-    ~max(compile over every program) instead of the per-problem sums.
+    their bucket programs — the bench entry point. Programs compile
+    back-to-back (see _compile_sequential: the remote compile service
+    reuses work between consecutive sibling compiles; concurrent requests
+    measured 4.6x slower in total).
 
     Returns {problem: (scenes_per_sec, mean_me, n_scenes, full)} plus the
     total compile wall seconds as the second tuple element.
@@ -427,7 +451,7 @@ def throughput_all(problems="HF", root: str | None = None,
         p: _prepare_lane_batches(p, root, seed) for p in problems.upper()
     }
     t0 = time.perf_counter()
-    _compile_parallel([b for lbs, _ in prepared.values() for b in lbs])
+    _compile_sequential([b for lbs, _ in prepared.values() for b in lbs])
     compile_s = time.perf_counter() - t0
     out = {}
     for p, (lbs, full) in prepared.items():

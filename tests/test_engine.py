@@ -125,3 +125,72 @@ def test_input_validation():
         findHomographies(np.zeros((3, 4)))
     with pytest.raises(ValueError):
         findHomographies(np.zeros((10, 3)))
+
+
+def test_select_restart_energy_rule_is_argmin():
+    from progressivex_tpu.core.engine import select_restart
+
+    e = jnp.array([3.0, 1.0, 2.0])
+    pref = jnp.ones((3, 8))
+    assert int(select_restart(e, pref, "energy")) == 1
+
+
+def test_select_restart_agreement_prefers_consensus_basin():
+    """A low-energy outlier run loses to the agreeing majority; among the
+    majority the lower-energy run wins (rank blend, config.restart_rule)."""
+    from progressivex_tpu.core.engine import select_restart
+
+    consensus = jnp.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.9, 0.8])
+    outlier = jnp.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+    pref = jnp.stack([
+        outlier,    # lowest energy but disagrees with everyone
+        consensus,  # majority basin, mid energy
+        consensus,  # same basin again, higher energy
+    ])
+    e = jnp.array([0.5, 1.0, 1.5])
+    assert int(select_restart(e, pref, "agreement")) == 1
+    # Pure-energy selection would have picked the outlier run.
+    assert int(select_restart(e, pref, "energy")) == 0
+
+
+def test_select_restart_single_run_short_circuits():
+    from progressivex_tpu.core.engine import select_restart
+
+    assert int(select_restart(jnp.array([2.0]), jnp.ones((1, 4)),
+                              "agreement")) == 0
+
+
+def test_fit_result_compound_pref_matches_final_descs():
+    """FitResult.compound_pref must be the max truncated preference of the
+    returned (final) descriptors — the signature select_restart keys on."""
+    from progressivex_tpu.core.config import (
+        EngineConfig, make_params, truncated_sq_threshold,
+    )
+    from progressivex_tpu.core.engine import fit
+    from progressivex_tpu.models import get_family
+    from progressivex_tpu.ops.scoring import truncated_preference
+
+    rng = np.random.default_rng(3)
+    n = 96
+    t = np.linspace(0, 1, 48)
+    pts1 = np.stack([t, 0.4 * t + 0.1], axis=1)
+    pts2 = np.stack([t, -0.7 * t + 0.9], axis=1)
+    pts = np.concatenate([pts1, pts2]) + rng.normal(0, 0.004, (n, 2))
+    data = jnp.array(pts, jnp.float32)
+    mask = jnp.ones((n,), bool)
+    w = jnp.ones((n,), jnp.float32)
+    family = get_family("line2d")
+    cfg = EngineConfig(family="line2d", n_hypotheses=64, max_rounds=4,
+                       final_relabel=2)
+    params = make_params(threshold=0.02, confidence=0.9, spatial_weight=0.3,
+                         neighborhood_radius=0.15, max_tanimoto=0.5,
+                         min_inliers=6, max_models=4, scoring_exponent=2,
+                         n_valid=n)
+    res = jax.jit(lambda k: fit(family, cfg, params, data, mask, w, k))(
+        jax.random.PRNGKey(0))
+    r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+        data, res.descs)
+    pref = truncated_preference(r2, truncated_sq_threshold(params.threshold))
+    expect = jnp.max(pref * res.active[:, None], axis=0, initial=0.0)
+    np.testing.assert_allclose(np.asarray(res.compound_pref),
+                               np.asarray(expect), atol=1e-6)

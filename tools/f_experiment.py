@@ -63,6 +63,7 @@ def main():
         n_subbatches=_n_subbatches(kw["max_iters"], n_hyp),
         sampler_id=int(kw["sampler_id"]),
         magsac_levels=int(kw.get("magsac_levels", 0)),
+        final_relabel=int(kw.get("final_relabel", 0)),
     )
     for kv in args.cfg:
         k, v = kv.split("=", 1)
@@ -124,8 +125,15 @@ def main():
         res = run(data, m, w, keys, nv)
         np.asarray(res.n_models)
         times.append(time.perf_counter() - t0)
+        from progressivex_tpu.core.engine import select_restart
+
+        rule = str(kw.get("restart_rule", "energy"))
         energy = np.asarray(res.energy).reshape(n_restarts, lanes)
-        pick = np.argmin(energy, axis=0)
+        pref = np.asarray(res.compound_pref).reshape(n_restarts, lanes, -1)
+        pick = np.array([
+            int(select_restart(energy[:, j], pref[:, j], rule))
+            for j in range(lanes)
+        ])
         for j in range(lanes):
             jj = pick[j] * lanes + j
             one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
