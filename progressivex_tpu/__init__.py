@@ -24,12 +24,12 @@ def _enable_compile_cache():
     The fused fit programs take minutes to compile on TPU (the while-loop
     nest plus memory-space assignment dominates); the persistent cache
     brings every repeat invocation — across processes — down to seconds.
-    Opt out with PROGX_COMPILE_CACHE=0, relocate with PROGX_COMPILE_CACHE=
-    <dir>. Registered lazily via jax.config so importing this package
-    never initializes a backend.
+    Opt out with PROGX_COMPILE_CACHE=0 (or "off"/"false"/"no"), relocate
+    with PROGX_COMPILE_CACHE=<dir>. Registered lazily via jax.config so
+    importing this package never initializes a backend.
     """
     setting = _os.environ.get("PROGX_COMPILE_CACHE", "1")
-    if setting == "0":
+    if setting.lower() in ("0", "off", "false", "no", "none"):
         return
     if _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         # The user already configured a cache location; an explicit
