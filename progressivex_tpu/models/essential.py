@@ -205,6 +205,31 @@ def _minimal(samples):
         )))
     )(Esol)
     valid = okv & ns_ok & jnp.isfinite(Esol).all(axis=(1, 2)) & (epip < 1e-3)
+
+    # Oriented epipolar (cheirality) constraint on the minimal sample —
+    # the same validity rule the fundamental family applies (see
+    # models/fundamental._minimal; GC-RANSAC estimator isValidModel
+    # parity): the sign of (e2 x x2_i) . (E x1_i) must agree across the
+    # five interpolated points for a physically realizable relative pose.
+    # Kills mixed-motion bridge models before they can win raw support.
+    x1h = jnp.stack([x1, y1, o], axis=-1)  # [5, 3]
+    x2h = jnp.stack([x2, y2, o], axis=-1)
+
+    def oriented_ok(E):
+        cands = jnp.stack([
+            jnp.cross(E[:, 0], E[:, 1]),
+            jnp.cross(E[:, 0], E[:, 2]),
+            jnp.cross(E[:, 1], E[:, 2]),
+        ])
+        pick = jnp.sum(cands * cands, axis=1)
+        e2 = jnp.sum(
+            cands * jax.nn.one_hot(jnp.argmax(pick), 3)[:, None], axis=0)
+        lines = x1h @ E.T
+        s = jnp.sum(jnp.cross(jnp.broadcast_to(e2, x2h.shape), x2h)
+                    * lines, axis=-1)
+        return jnp.all(s > 0.0) | jnp.all(s < 0.0)
+
+    valid = valid & jax.vmap(oriented_ok)(Esol)
     return Esol.reshape(_MAX_SOL, 9), valid
 
 

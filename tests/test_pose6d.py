@@ -2,7 +2,11 @@
 
 Anchors are the reference demo outputs (`cpp_example.cpp:406-438` /
 `example_multi_pose_6d.ipynb`): rotation errors 8.25 / 0.95 deg,
-translation errors 2.40 / 1.22 cm (data units are mm). Gates allow ~2x.
+translation errors 2.40 / 1.22 cm (data units are mm). Gates allow 1.2x
+the anchors — the measured TPU bench run (bench.py, same protocol)
+scores rot 7.82 / 0.00 deg and transl 17.8 / 8.5 mm, i.e. BETTER than
+the reference on every component, so 1.2x leaves real regression margin
+without being a doesn't-crash gate.
 """
 
 import numpy as np
@@ -41,9 +45,15 @@ def test_find6dposes_tless_anchors(tless):
     assert k >= 2, f"expected >= 2 pose instances, got {k}"
     est = [poses[3 * i:3 * i + 3] for i in range(k)]
     errs = pose_errors(est, gt_poses)
-    # Reference anchors: (8.25 deg, 24.0 mm) and (0.95 deg, 12.2 mm).
-    rot_gates = (16.5, 10.0)
-    tr_gates = (48.0, 25.0)
+    # Reference anchors: (8.25 deg, 24.0 mm) and (0.95 deg, 12.2 mm);
+    # gates = 1.2x the anchors, except the second rotation where the
+    # seed/backend spread straddles the anchor (measured 0.00 deg on the
+    # TPU bench seed, 1.68 deg on the CPU test seed — the anchor itself
+    # is a single reference run) — gated at 2 deg, still ~5x tighter
+    # than the round-1 gate. Other measured headroom: 7.82 deg,
+    # 17.8/8.5 mm.
+    rot_gates = (9.9, 2.0)
+    tr_gates = (28.8, 14.64)
     for gi, ((rot, tr), rg, tg) in enumerate(zip(errs, rot_gates, tr_gates)):
         assert rot <= rg, f"GT pose {gi}: rotation error {rot:.2f} > {rg}"
         assert tr <= tg, f"GT pose {gi}: translation error {tr:.2f} > {tg}"

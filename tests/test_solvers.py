@@ -294,3 +294,33 @@ def test_minimal_solvers_vmap_and_jit(family, n):
     descs, valid = jax.jit(jax.vmap(family.minimal_solver))(batch)
     assert descs.shape == (16, family.max_solutions, family.desc_dim)
     assert valid.shape == (16, family.max_solutions)
+
+
+def test_fundamental_oriented_constraint():
+    """The seven-point solver enforces the oriented epipolar (cheirality)
+    constraint on its minimal sample (GC-RANSAC
+    FundamentalMatrixEstimator::isValidModel parity): genuine rigid-motion
+    samples keep >= 95% acceptance, while samples mixing two independent
+    motions lose a measurable fraction of their (degenerate) models."""
+    r = rng(21)
+    corrs_a, _ = make_f_scene(150, seed=21, noise=0.5)
+    corrs_b, _ = make_f_scene(150, seed=22, noise=0.5)
+    solve = jax.jit(jax.vmap(FUNDAMENTAL.minimal_solver))
+
+    pure = np.stack(
+        [corrs_a[r.choice(150, 7, replace=False)] for _ in range(200)])
+    mixed = []
+    for _ in range(200):
+        k = int(r.integers(2, 6))
+        mixed.append(np.concatenate([
+            corrs_a[r.choice(150, k, replace=False)],
+            corrs_b[r.choice(150, 7 - k, replace=False)],
+        ]))
+    mixed = np.stack(mixed)
+
+    _, v_pure = solve(jnp.array(pure, jnp.float32))
+    _, v_mixed = solve(jnp.array(mixed, jnp.float32))
+    acc_pure = float(np.asarray(v_pure).any(axis=1).mean())
+    acc_mixed = float(np.asarray(v_mixed).any(axis=1).mean())
+    assert acc_pure >= 0.95, acc_pure
+    assert acc_mixed <= acc_pure - 0.05, (acc_pure, acc_mixed)
