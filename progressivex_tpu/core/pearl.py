@@ -381,15 +381,26 @@ def merge_instances(
             wts = pref_ij * union.astype(data.dtype) * point_weights
             nd, ok = family.refit(data, wts, descs[i])
             r2n = family.squared_residual(data, nd)
-            for _ in range(2):
+            # IRLS acceptance on the TRUNCATED residual sum (cap as in
+            # engine._final_polish): judging steps on the RAW union sum
+            # let the union's few claimed outliers veto genuinely
+            # improving steps (their huge residuals fluctuate more than
+            # the inlier mass improves — measured on a split-blowup
+            # state: both IRLS steps rejected, merged model stuck at
+            # union rms 1.65 and the merge vetoed at +14 energy, where
+            # the converged refit merges at -36).
+            cap = 2.25 * trunc_sq
+
+            def trunc_sum(r2v):
+                return jnp.sum(jnp.where(
+                    union, jnp.sqrt(jnp.minimum(r2v, cap)), 0.0))
+
+            for _ in range(3):
                 pref = jnp.maximum(0.0, 1.0 - r2n / trunc_sq)
                 wts2 = pref * union.astype(data.dtype) * point_weights
                 nd2, ok2 = family.refit(data, wts2, nd)
                 r2n2 = family.squared_residual(data, nd2)
-                better = ok2 & (
-                    jnp.sum(jnp.where(union, r2n2, 0.0))
-                    < jnp.sum(jnp.where(union, r2n, 0.0))
-                )
+                better = ok2 & (trunc_sum(r2n2) < trunc_sum(r2n))
                 nd = jnp.where(better, nd2, nd)
                 r2n = jnp.where(better, r2n2, r2n)
             ratio = r2n / trunc_sq
@@ -403,12 +414,44 @@ def merge_instances(
             return nd, jnp.where(both & ok, delta, jnp.inf)
 
         new_descs, deltas = jax.vmap(try_pair)(pi, pj)
-        best = jnp.argmin(deltas)
-        do = deltas[best] < 0.0
+
+        # The static delta above holds every label fixed, which
+        # UNDERESTIMATES merge profit: after a real merge the labeling
+        # re-equilibrates (the merged model picks up boundary points and
+        # near-threshold outliers both twins dropped). Measured on the
+        # split-blowup breadcube states: static delta positive (merge
+        # vetoed) while the true post-relabel energies were 101.0 -> 79.2,
+        # 139.3 -> 103.0, 97.9 -> 71.9 (ME 0.43-0.51 -> 0.004-0.066) —
+        # and the split pair is not even the static argmin, so a
+        # single-pair upgrade misses it. Every candidate pair is
+        # therefore scored by the FULL labeling energy (data + Potts +
+        # label costs) of its merged-and-relabeled state; the best pair
+        # is applied iff it beats the current state's energy.
+        def total_energy(dcost_, labels_, active_):
+            e = labeling_ops.labeling_energy(dcost_, labels_, adj, w)
+            return e + label_cost * jnp.sum(active_)
+
+        def eval_pair(i, j, nd, delta):
+            m_descs = descs.at[i].set(nd)
+            m_active = active.at[j].set(False)
+            m_labels = jnp.where(labels == j, i, labels)
+            r2_m = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+                data, m_descs)
+            dcost_m = labeling_ops.data_costs(
+                r2_m, m_active, point_mask, w, trunc_sq)
+            m_labels, _ = labeling_ops.icm_sweeps(
+                dcost_m, m_labels, adj, w, 2)
+            e = total_energy(dcost_m, m_labels, m_active)
+            return m_labels, jnp.where(jnp.isfinite(delta), e, jnp.inf)
+
+        m_labels_all, e_all = jax.vmap(eval_pair)(pi, pj, new_descs, deltas)
+        best = jnp.argmin(e_all)
         bi, bj = pi[best], pj[best]
+        e_cur = total_energy(dcost, labels, active)
+        do = (e_all[best] < e_cur) & jnp.isfinite(e_all[best])
         descs = jnp.where(do, descs.at[bi].set(new_descs[best]), descs)
         active = jnp.where(do, active.at[bj].set(False), active)
-        labels = jnp.where(do & (labels == bj), bi, labels)
+        labels = jnp.where(do, m_labels_all[best], labels)
         return descs, active, labels, it + 1, do
 
     def cond(carry):
