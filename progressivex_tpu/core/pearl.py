@@ -378,9 +378,6 @@ def merge_instances(
                 jnp.maximum(0.0, 1.0 - r2[i] / trunc_sq),
                 jnp.maximum(0.0, 1.0 - r2[j] / trunc_sq),
             )
-            wts = pref_ij * union.astype(data.dtype) * point_weights
-            nd, ok = family.refit(data, wts, descs[i])
-            r2n = family.squared_residual(data, nd)
             # IRLS acceptance on the TRUNCATED residual sum (cap as in
             # engine._final_polish): judging steps on the RAW union sum
             # let the union's few claimed outliers veto genuinely
@@ -395,14 +392,37 @@ def merge_instances(
                 return jnp.sum(jnp.where(
                     union, jnp.sqrt(jnp.minimum(r2v, cap)), 0.0))
 
-            for _ in range(3):
-                pref = jnp.maximum(0.0, 1.0 - r2n / trunc_sq)
-                wts2 = pref * union.astype(data.dtype) * point_weights
-                nd2, ok2 = family.refit(data, wts2, nd)
-                r2n2 = family.squared_residual(data, nd2)
-                better = ok2 & (trunc_sum(r2n2) < trunc_sum(r2n))
-                nd = jnp.where(better, nd2, nd)
-                r2n = jnp.where(better, r2n2, r2n)
+            def irls(nd0, r2n0):
+                nd, r2n = nd0, r2n0
+                for _ in range(3):
+                    pref = jnp.maximum(0.0, 1.0 - r2n / trunc_sq)
+                    wts2 = pref * union.astype(data.dtype) * point_weights
+                    nd2, ok2 = family.refit(data, wts2, nd)
+                    r2n2 = family.squared_residual(data, nd2)
+                    better = ok2 & (trunc_sum(r2n2) < trunc_sum(r2n))
+                    nd = jnp.where(better, nd2, nd)
+                    r2n = jnp.where(better, r2n2, r2n)
+                return nd, r2n
+
+            # TWO merged-model candidates, best by truncated sum:
+            # (a) warm: refit from descs[i] with max-preference seeding —
+            #     right when at least one twin is a good model of the
+            #     union (the common split-of-a-good-structure case);
+            # (b) cold: stateless non-minimal fit on FLAT union weights —
+            #     when BOTH twins are bad, their preference weights
+            #     poison every seeded fit (measured on a cubetoy
+            #     both-halves-bad state: warm 2.63 / cold-with-pref 2.34
+            #     / cold-flat 1.08 structure rms).
+            wts = pref_ij * union.astype(data.dtype) * point_weights
+            nd_w, ok_w = family.refit(data, wts, descs[i])
+            nd_w, r2_w = irls(nd_w, family.squared_residual(data, nd_w))
+            nd_c, ok_c = family.nonminimal_solver(
+                data, union.astype(data.dtype) * point_weights)
+            nd_c, r2_c = irls(nd_c, family.squared_residual(data, nd_c))
+            use_cold = ok_c & ((trunc_sum(r2_c) < trunc_sum(r2_w)) | ~ok_w)
+            nd = jnp.where(use_cold, nd_c, nd_w)
+            r2n = jnp.where(use_cold, r2_c, r2_w)
+            ok = ok_w | ok_c
             ratio = r2n / trunc_sq
             c_new = jnp.where(ratio > 1.0, 2.0 * (1.0 - w), (1.0 - w) * ratio)
             d_data = jnp.sum(jnp.where(union, c_new - chosen, 0.0))
