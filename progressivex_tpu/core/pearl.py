@@ -393,16 +393,22 @@ def merge_instances(
                     union, jnp.sqrt(jnp.minimum(r2v, cap)), 0.0))
 
             def irls(nd0, r2n0):
-                nd, r2n = nd0, r2n0
-                for _ in range(3):
+                # fori_loop, not an unrolled Python loop: the refit body
+                # inlines the unrolled Gauss-Jordan solvers, and this
+                # pass runs 4 IRLS chains per candidate pair — unrolled
+                # it was the largest single chunk of the fit program's
+                # traced graph (compile-time relevant, not speed).
+                def body(_, carry):
+                    nd, r2n = carry
                     pref = jnp.maximum(0.0, 1.0 - r2n / trunc_sq)
                     wts2 = pref * union.astype(data.dtype) * point_weights
                     nd2, ok2 = family.refit(data, wts2, nd)
                     r2n2 = family.squared_residual(data, nd2)
                     better = ok2 & (trunc_sum(r2n2) < trunc_sum(r2n))
-                    nd = jnp.where(better, nd2, nd)
-                    r2n = jnp.where(better, r2n2, r2n)
-                return nd, r2n
+                    return (jnp.where(better, nd2, nd),
+                            jnp.where(better, r2n2, r2n))
+
+                return lax.fori_loop(0, 3, body, (nd0, r2n0))
 
             # TWO merged-model candidates, best by truncated sum:
             # (a) warm: refit from descs[i] with max-preference seeding —
