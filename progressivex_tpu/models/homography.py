@@ -76,10 +76,39 @@ def _solve_h(p1, p2, weights, exact_nullspace: bool = False):
     return H, valid
 
 
+_TRIPLES = ((0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3))
+
+
+def _sample_orientation_ok(p1, p2):
+    """GC-RANSAC HomographyEstimator sample-validity parity (the same
+    test as OpenCV's checkSubset): a planar homography maps every point
+    triple's orientation consistently — either all four triples keep
+    their winding between the images or all four flip (viewing the plane
+    from the other side). A 4-point sample mixing two planes (or pairing
+    points across structures) violates this and cannot yield a physically
+    meaningful H, so it is rejected before (or regardless of) the solve.
+
+    p1, p2: [..., 4, 2] sample points in each image (leading batch dims
+    broadcast). Returns [...] bool.
+    """
+
+    def cross_sign(p, i, j, k):
+        u = p[..., j, :] - p[..., i, :]
+        v = p[..., k, :] - p[..., i, :]
+        return u[..., 0] * v[..., 1] - u[..., 1] * v[..., 0]
+
+    q = jnp.stack(
+        [cross_sign(p1, *t) * cross_sign(p2, *t) for t in _TRIPLES],
+        axis=-1,
+    )  # [..., 4] triple-orientation products
+    return jnp.all(q > 0.0, axis=-1) | jnp.all(q < 0.0, axis=-1)
+
+
 def _minimal(samples):
     """4-point DLT. samples: [4, 4] -> ([1, 9], [1] bool)."""
     w = jnp.ones((4,), samples.dtype)
     H, valid = _solve_h(samples[:, :2], samples[:, 2:4], w, exact_nullspace=True)
+    valid = valid & _sample_orientation_ok(samples[:, :2], samples[:, 2:4])
     return H.reshape(1, 9), valid[None]
 
 
@@ -164,6 +193,7 @@ def _minimal_batched(samples):
         ns_valid
         & jnp.isfinite(H).all(axis=(0, 1))
         & (jnp.abs(det) > 1e-10)
+        & _sample_orientation_ok(p1, p2)
     )
     descs = jnp.moveaxis(H.reshape(9, -1), -1, 0)[:, None, :]  # [B, 1, 9]
     return descs, valid[:, None]

@@ -324,3 +324,34 @@ def test_fundamental_oriented_constraint():
     acc_mixed = float(np.asarray(v_mixed).any(axis=1).mean())
     assert acc_pure >= 0.95, acc_pure
     assert acc_mixed <= acc_pure - 0.05, (acc_pure, acc_mixed)
+
+
+def test_homography_sample_orientation_constraint():
+    """The 4-point solver rejects samples whose point triples change
+    winding inconsistently between the two images (GC-RANSAC
+    HomographyEstimator sample-validity / OpenCV checkSubset parity)."""
+    from progressivex_tpu.models import get_family
+
+    fam = get_family("homography")
+    r = rng(31)
+    H = np.array([[1.1, 0.05, 20.0], [-0.04, 0.95, -10.0],
+                  [1e-4, -5e-5, 1.0]])
+    p1 = r.uniform(0, 400, (4, 2))
+    ph = np.concatenate([p1, np.ones((4, 1))], 1) @ H.T
+    p2 = ph[:, :2] / ph[:, 2:3]
+    good = np.concatenate([p1, p2], 1)
+    _, v_good = fam.minimal_solver(jnp.array(good, jnp.float32))
+    assert bool(v_good.any())
+
+    # Swap two points in ONE image only: the winding of some triples
+    # flips inconsistently and the sample must be rejected.
+    p2_bad = p2.copy()
+    p2_bad[[0, 1]] = p2_bad[[1, 0]]
+    bad = np.concatenate([p1, p2_bad], 1)
+    _, v_bad = fam.minimal_solver(jnp.array(bad, jnp.float32))
+    assert not bool(v_bad.any())
+
+    # Batched variant agrees.
+    batch = jnp.array(np.stack([good, bad]), jnp.float32)
+    _, v_b = fam.minimal_solver_batched(batch)
+    assert bool(v_b[0].any()) and not bool(v_b[1].any())
