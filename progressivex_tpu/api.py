@@ -79,8 +79,19 @@ class Statistics:
     iterations: list = dataclasses.field(default_factory=list)
 
 
+# Point counts pad up to one of these levels (~x1.5 apart, multiples of
+# 128) rather than to every 128-multiple: a dataset sweep then compiles
+# one program per LEVEL touched (AdelaideRMF-H: 5 instead of ~12), and
+# the eval harness's scene buckets (eval/adelaide._BUCKETS) share the
+# same levels. Sizes beyond the table fall back to 128-multiples.
+PAD_LEVELS = (128, 256, 384, 512, 768, 1024, 1536, 2304, 3456, 5120, 7680)
+
+
 def _pad_to(n: int) -> int:
-    return max(_PAD, -(-n // _PAD) * _PAD)
+    for level in PAD_LEVELS:
+        if n <= level:
+            return level
+    return -(-n // _PAD) * _PAD
 
 
 # Per-family batched-budget caps. Measured on AdelaideRMF (unihouse, the

@@ -25,6 +25,7 @@ import zipfile
 
 import numpy as np
 
+from progressivex_tpu import api as api_mod
 from progressivex_tpu.io.data import (
     ADELAIDE_F_SCENES,
     ADELAIDE_H_SCENES,
@@ -179,8 +180,10 @@ def evaluate_scenes(problem: str, root: str | None = None, seed: int = 0,
 # every scene to the dataset max makes small scenes cost as much as the
 # biggest (measured 2-3x total throughput loss on AdelaideRMF-H, whose
 # largest scene is ~6x its median). Each bucket compiles its own program —
-# amortized across processes by the persistent compilation cache.
-_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2304, 3456, 5120, 7680)
+# amortized across processes by the persistent compilation cache. The
+# single-scene API pads to the same levels (api.PAD_LEVELS); 256 is the
+# batched floor (sub-256 scenes share the 256 program).
+_BUCKETS = tuple(level for level in api_mod.PAD_LEVELS if level >= 256)
 
 
 def _bucket_size(n: int) -> int:
