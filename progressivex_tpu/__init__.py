@@ -63,5 +63,12 @@ try:  # The full API needs the core engine; keep import-light during build-up.
         findTwoViewMotions,
         findVanishingPoints,
     )
+    from progressivex_tpu.api_batch import (  # noqa: F401
+        find6DPosesBatched,
+        findHomographiesBatched,
+        findLinesBatched,
+        findTwoViewMotionsBatched,
+        findVanishingPointsBatched,
+    )
 except ImportError:  # pragma: no cover - only during partial checkouts
     pass
