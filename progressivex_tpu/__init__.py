@@ -65,6 +65,7 @@ try:  # The full API needs the core engine; keep import-light during build-up.
     )
     from progressivex_tpu.api_batch import (  # noqa: F401
         find6DPosesBatched,
+        findEssentialMatricesBatched,
         findHomographiesBatched,
         findLinesBatched,
         findTwoViewMotionsBatched,

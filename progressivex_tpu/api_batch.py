@@ -359,6 +359,72 @@ def findVanishingPointsBatched(
     return [(d.astype(np.float64), l) for d, l in out]
 
 
+def findEssentialMatricesBatched(
+    corrs_list,
+    K1_list,
+    K2_list,
+    threshold=0.75,
+    conf=0.5,
+    spatial_coherence_weight=0.1,
+    neighborhood_ball_radius=200.0,
+    maximum_tanimoto_similarity=0.4,
+    max_iters=1000,
+    minimum_point_number=10,
+    maximum_model_number=-1,
+    sampler_id=0,
+    scoring_exponent=2,
+    do_logging=False,
+    random_seed=0,
+    n_restarts=1,
+):
+    """Multi essential-matrix fitting over a LIST of scenes in one device
+    batch (extension — see `findEssentialMatrices`). K1_list/K2_list are
+    one [3,3] per scene OR a single shared [3,3]; per-scene K^-1
+    normalization and threshold/focal scaling ride in as vmapped runtime
+    values. Returns a list of ([3K_i, 3] stacked E rows in NORMALIZED
+    coordinates, labeling_i)."""
+    n_scenes = len(corrs_list)
+    K1s = (list(K1_list) if isinstance(K1_list, (list, tuple))
+           else [K1_list] * n_scenes)
+    K2s = (list(K2_list) if isinstance(K2_list, (list, tuple))
+           else [K2_list] * n_scenes)
+    if len(K1s) != n_scenes or len(K2s) != n_scenes:
+        raise ValueError("corrs_list, K1_list, K2_list length mismatch")
+    datas, graphs, ths = [], [], []
+    for corrs, K1, K2 in zip(corrs_list, K1s, K2s):
+        corrs = np.asarray(corrs, np.float64)
+        if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 5:
+            raise ValueError(
+                "every corrs should be an array with dims [n,4], n>=5")
+        K1 = np.asarray(K1, np.float64)
+        K2 = np.asarray(K2, np.float64)
+        if K1.shape != (3, 3) or K2.shape != (3, 3):
+            raise ValueError("every K1/K2 should be arrays with dims [3,3]")
+        ones = np.ones((corrs.shape[0], 1))
+        n1 = (np.concatenate([corrs[:, :2], ones], 1)
+              @ np.linalg.inv(K1).T)[:, :2]
+        n2 = (np.concatenate([corrs[:, 2:4], ones], 1)
+              @ np.linalg.inv(K2).T)[:, :2]
+        datas.append(np.ascontiguousarray(
+            np.concatenate([n1, n2], axis=1), np.float32))
+        graphs.append(np.ascontiguousarray(corrs, np.float32))
+        ths.append(threshold / (0.25 * (K1[0, 0] + K1[1, 1]
+                                        + K2[0, 0] + K2[1, 1])))
+    out = _run_batched(
+        "essential", datas, None,
+        thresholds=ths, conf=conf,
+        spatial_coherence_weight=spatial_coherence_weight,
+        neighborhood_ball_radius=neighborhood_ball_radius,
+        maximum_tanimoto_similarity=maximum_tanimoto_similarity,
+        max_iters=max_iters, minimum_point_number=minimum_point_number,
+        maximum_model_number=maximum_model_number, sampler_id=sampler_id,
+        scoring_exponent=scoring_exponent, graph_datas=graphs,
+        do_logging=do_logging, random_seed=random_seed,
+        n_restarts=n_restarts,
+    )
+    return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
+
+
 def find6DPosesBatched(
     x1y1_list,
     x2y2z2_list,

@@ -113,6 +113,47 @@ def test_batched_lines_smoke():
         assert descs.shape[0] >= 1
 
 
+def test_batched_essential_per_scene_intrinsics():
+    """findEssentialMatricesBatched: two calibrated scenes with DIFFERENT
+    intrinsics share one program; per-scene K^-1 normalization and
+    threshold/f scaling ride in as per-lane runtime values."""
+    from progressivex_tpu import findEssentialMatricesBatched
+
+    def scene(seed, f):
+        r = np.random.default_rng(seed)
+        ax = np.array([0.2, -0.5, 0.8]); ax /= np.linalg.norm(ax)
+        th = 0.3
+        Kx = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]],
+                       [-ax[1], ax[0], 0]])
+        R = np.eye(3) + np.sin(th) * Kx + (1 - np.cos(th)) * Kx @ Kx
+        t = np.array([1.0, 0.2, -0.1]); t /= np.linalg.norm(t)
+        X = r.uniform(-1, 1, (80, 3)) + np.array([0, 0, 4.0])
+        x1 = X[:, :2] / X[:, 2:3]
+        Xc = X @ R.T + t
+        x2 = Xc[:, :2] / Xc[:, 2:3]
+        K = np.array([[f, 0, 320.0], [0, f, 240.0], [0, 0, 1.0]])
+        p1 = x1 * f + [320, 240]
+        p2 = x2 * f + [320, 240]
+        corr = np.concatenate([p1, p2], 1)
+        corr += r.normal(0, 0.3, corr.shape)
+        out = r.uniform(0, 640, (40, 2)), r.uniform(0, 480, (40, 2))
+        corr = np.concatenate(
+            [corr, np.concatenate([out[0], out[1]], 1)])
+        gt = np.array([1] * 80 + [0] * 40)
+        return corr, K, gt
+
+    (c1, K1, g1), (c2, K2, g2) = scene(0, 600.0), scene(1, 900.0)
+    out = findEssentialMatricesBatched(
+        [c1, c2], [K1, K2], [K1, K2], threshold=2.0, conf=0.9,
+        spatial_coherence_weight=0.1, neighborhood_ball_radius=200.0,
+        max_iters=128, minimum_point_number=20, maximum_model_number=2,
+    )
+    for (descs, labels), gt in zip(out, (g1, g2)):
+        assert descs.shape[0] // 3 >= 1
+        me = misclassification(labels, gt)
+        assert me <= 0.15, me
+
+
 def test_batched_input_validation():
     with pytest.raises(ValueError):
         findHomographiesBatched([np.zeros((3, 4))])
