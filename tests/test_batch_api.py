@@ -154,6 +154,33 @@ def test_batched_essential_per_scene_intrinsics():
         assert me <= 0.15, me
 
 
+def test_batched_poses_tless():
+    """find6DPosesBatched on the bundled T-LESS scene hits the same
+    reference-anchored gates as the single-scene front end."""
+    from progressivex_tpu import find6DPosesBatched
+    from progressivex_tpu.io.data import load_tless_scene
+    from progressivex_tpu.io.metrics import pose_errors
+
+    xy, xyz, K, gt_poses = load_tless_scene()
+    out = find6DPosesBatched(
+        [xy], [xyz], K,
+        threshold=4.0, conf=0.9, spatial_coherence_weight=0.1,
+        neighborhood_ball_radius=20.0, maximum_tanimoto_similarity=0.9,
+        max_iters=400, minimum_point_number=6, random_seed=0,
+    )
+    poses, labeling = out[0]
+    k = poses.shape[0] // 3
+    assert k >= 2, k
+    errs = pose_errors([poses[3 * i:3 * i + 3] for i in range(k)], gt_poses)
+    # Same gates as test_pose6d (1.2x the reference anchors, second
+    # rotation at 2 deg for seed spread).
+    for gi, ((rot, tr), rg, tg) in enumerate(
+            zip(errs, (9.9, 2.0), (28.8, 14.64))):
+        assert rot <= rg, f"GT pose {gi}: rotation error {rot:.2f} > {rg}"
+        assert tr <= tg, f"GT pose {gi}: translation error {tr:.2f} > {tg}"
+    assert labeling.shape == (1886,)
+
+
 def test_batched_input_validation():
     with pytest.raises(ValueError):
         findHomographiesBatched([np.zeros((3, 4))])
