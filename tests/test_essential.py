@@ -48,15 +48,19 @@ def _best_err(descs, valid, E_gt):
 
 
 def test_five_point_recovers_gt_often():
-    """f32 multi-start recovery is ~70% per noise-free minimal sample (see
-    the module docstring); require a solid majority over 20 problems."""
+    """f32 multi-start recovery is ~75% per noise-free minimal sample at
+    the 1e-3 tolerance since the direct-constraint GN (measured 0.755
+    over 200 samples; the former interpolated-coefficient design scored
+    0.555 — see the module docstring). Gate at 22/40 (~3 sigma below the
+    measured rate, and a level the old design only reached at a 20x
+    looser tolerance)."""
     mm = jax.jit(_minimal)
     hits = 0
-    for seed in range(20):
+    for seed in range(40):
         E_gt, corr = _synth_motion(seed)
         descs, valid = mm(jnp.array(corr, jnp.float32))
-        hits += _best_err(descs, valid, E_gt) < 2e-2
-    assert hits >= 10, f"only {hits}/20 minimal problems recovered"
+        hits += _best_err(descs, valid, E_gt) < 1e-3
+    assert hits >= 22, f"only {hits}/40 minimal problems recovered"
 
 
 def test_five_point_solutions_satisfy_constraints():
