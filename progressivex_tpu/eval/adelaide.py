@@ -343,7 +343,14 @@ def throughput_batch(problem: str, root: str | None = None,
 
 def _compile_sequential(lane_batches):
     for b in lane_batches:
+        t0 = time.perf_counter()
         b.compile()
+        print(
+            f"[progressivex_tpu.eval] compiled n_pad={b.n_pad} "
+            f"({b.lanes}x{b.n_restarts} rows) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
 
 
 def _prepare_lane_batches(problem, root, seed):
