@@ -456,7 +456,7 @@ def findTwoViewMotions(
     n_restarts=5,
     magsac_levels=4,
     final_relabel=2,
-    restart_rule="energy",
+    restart_rule="energy+5k",
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -478,13 +478,15 @@ def findTwoViewMotions(
     device time; 4 sweeps change nothing further (converged at 2). 0
     returns PEARL's last labeling unchanged (reference parity).
     `restart_rule` (extension kwarg, config.restart_rule) defaults to
-    "energy" (argmin final total energy). The alternative "agreement"
-    blends the energy rank with a peer-agreement rank (Tanimoto of each
-    restart's compound preference against the others,
-    engine.select_restart); it won on CPU-generated run pools (mean ME
-    0.0192 vs 0.0205) but measured WORSE on-device at protocol scale
-    (0.0394 vs 0.0246, selection-only A/B on the same compiled program),
-    so it is not the default."""
+    "energy+5k": argmin of final total energy + 5 per instance — a
+    selection-time label cost that suppresses catastrophic split states
+    (a 7-DOF F can overfit half a structure tightly enough to sit within
+    a few energy units of the good basin). Measured per-restart
+    (tools/f_diagnose.py): cubetoy picked-mean ME 0.0769 -> 0.0375,
+    book/breadcube unchanged. "energy" restores the objective-only
+    policy; "agreement" (peer-agreement rank blend) measured WORSE
+    on-device (0.0394 vs 0.0246) and is kept only as a record (see
+    engine.select_restart)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")

@@ -167,10 +167,12 @@ def _run_batched(
         res = jax.tree.map(np.asarray, res)
         energy = res.energy.reshape(n_restarts, lanes)
         pref = res.compound_pref.reshape(n_restarts, lanes, -1)
+        nmod = res.n_models.reshape(n_restarts, lanes)
         for j, i in enumerate(lane_ids[: len(idxs)]):
             r = int(engine.select_restart(
                 jnp.asarray(energy[:, j]), jnp.asarray(pref[:, j]),
                 restart_rule if n_restarts > 1 else "energy",
+                jnp.asarray(nmod[:, j]),
             ))
             one = jax.tree.map(lambda x, rr=r * lanes + j: x[rr], res)
             descs, labels = engine.compact_result(one, int(nv[j]))
@@ -248,7 +250,7 @@ def findTwoViewMotionsBatched(
     n_restarts=5,
     magsac_levels=4,
     final_relabel=2,
-    restart_rule="energy",
+    restart_rule="energy+5k",
 ):
     """Multi two-view-motion fitting over a LIST of scenes in one device
     batch. Returns a list of ([3K_i, 3] stacked F rows, labeling_i);

@@ -116,10 +116,14 @@ class EngineConfig:
     # also returns PEARL's last labeling unchanged).
     restart_rule: str = "energy"  # how the winner is picked among
     # n_restarts independent runs: "energy" = argmin final total energy
-    # (the reference-style objective-only policy, and the default by
-    # measurement); "agreement" = argmin of (energy rank + peer-agreement
-    # rank), agreement being the restart's summed Tanimoto similarity to
-    # the other restarts' compound preferences (engine.select_restart).
+    # (the reference-style objective-only policy); "energy+<L>k" (e.g.
+    # "energy+5k", the findTwoViewMotions default) = argmin of energy +
+    # L * n_models, a selection-time label cost that suppresses
+    # catastrophic split/collapse basins whose energy is within a few
+    # units of the good one (engine.select_restart has the measurement);
+    # "agreement" = argmin of (energy rank + peer-agreement rank),
+    # agreement being the restart's summed Tanimoto similarity to the
+    # other restarts' compound preferences (engine.select_restart).
     # "agreement" beat "energy" on CPU-generated 48-run pools (mean ME
     # 0.0192 vs 0.0205) but LOST the on-device protocol A/B at 32 lanes x
     # 5 restarts (0.0394 vs 0.0246, same compiled program): catastrophic

@@ -34,6 +34,7 @@ current descriptors after PEARL refits, which is strictly more accurate.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import NamedTuple
 
 import jax
@@ -583,7 +584,7 @@ def fit(
             )
         )(keys)
         best = select_restart(results.energy, results.compound_pref,
-                              cfg.restart_rule)
+                              cfg.restart_rule, results.n_models)
         result = jax.tree.map(lambda x: x[best], results)
     else:
         result = _fit_prepared(
@@ -596,18 +597,39 @@ def fit(
     return result
 
 
-def select_restart(energy, compound_pref, rule: str):
+# config.restart_rule "energy+<L>k": selection-time label cost L per
+# instance on top of the final PEARL energy (see select_restart).
+_ENERGY_K_RULE = re.compile(r"energy\+([0-9.]+)k")
+
+
+def select_restart(energy, compound_pref, rule: str, n_models=None):
     """Pick the winning restart index from per-restart final energies
     [R] and compound preferences [R, N] (see config.restart_rule).
 
-    "energy": argmin total energy (the default — see below).
+    "energy": argmin total energy (the reference-style objective-only
+    policy).
+    "energy+<L>k" (e.g. "energy+5k"): argmin of energy + L * n_models —
+    a SELECTION-TIME label cost on top of the PEARL energy's own. The
+    failure mode this targets: a catastrophic local optimum that splits
+    one true structure into two instances (or bridges two into one)
+    lands within a few energy units of the good basin, because a 7-DOF
+    fundamental matrix can overfit half a structure tightly enough to
+    pay back the label cost; a small constant per instance breaks those
+    ties toward the more parsimonious labeling. Safe bound: a genuinely
+    needed extra structure lowers the energy by about
+    min_structure_size * (1 - w) (its points leave the outlier cost),
+    which is >> L for any structure worth keeping, so the penalty
+    cannot suppress real models. Per-restart diagnostic measurement
+    (tools/f_diagnose.py + tools/selector_sim.py, 96 runs x 5 restarts
+    per scene): cubetoy picked-mean ME 0.0769 -> 0.0375 (energy ->
+    energy+5k, oracle 0.0269), catastrophic picks 9/96 -> 1/96; book and
+    breadcube unchanged. L in [5, 8] is a plateau; 5 is the shipped
+    default for the F protocol.
     "agreement": argmin of (energy rank + peer-agreement rank), where a
     restart's agreement is the sum of Tanimoto similarities between its
     compound preference and every other restart's — the idea being that
-    a bad local optimum (split/collapsed/bridged structure) is an
-    OUTLIER among its peers even when its energy is competitive, and the
-    preference vector is a label-permutation-free signature to compare
-    runs by.
+    a bad local optimum is an OUTLIER among its peers even when its
+    energy is competitive.
 
     Measurement (AdelaideRMF-F bundled scenes): the rank blend won on
     CPU-generated 48-run pools (mean ME 0.0192 vs 0.0205 for
@@ -615,12 +637,19 @@ def select_restart(energy, compound_pref, rule: str):
     protocol A/B at 32 lanes x 5 restarts with the same compiled
     program (0.0394 vs 0.0246): the catastrophic basins recur across
     on-device restarts often enough to agree with each other and win
-    the agreement rank, flipping the sign of the effect. "energy" stays
-    the default; the rule is kept as an option and as the measured
-    record. Works on jnp or np inputs.
+    the agreement rank, flipping the sign of the effect. (A labeling
+    co-clustering medoid fails the same way: 0.0697 on the cubetoy
+    diagnostic, tools/selector_sim.py.) Works on jnp or np inputs.
     """
     if rule == "energy" or energy.shape[0] == 1:
         return jnp.argmin(energy)
+    m = _ENERGY_K_RULE.fullmatch(rule)
+    if m:
+        if n_models is None:
+            raise ValueError(f"rule {rule!r} needs n_models")
+        lam = float(m.group(1))
+        return jnp.argmin(jnp.asarray(energy)
+                          + lam * jnp.asarray(n_models, jnp.float32))
     if rule != "agreement":
         raise ValueError(f"unknown restart_rule {rule!r}")
     p = jnp.asarray(compound_pref, jnp.float32)

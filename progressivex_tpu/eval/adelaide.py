@@ -74,12 +74,19 @@ F_PROTOCOL = dict(
     # 0.53 -> 0.08) at identical batch time; matches the
     # findTwoViewMotions default.
     magsac_levels=4,
-    # config.restart_rule stays "energy": the peer-agreement rank blend
-    # (engine.select_restart) won on CPU-generated 48-run pools (0.0192
-    # vs 0.0205) but LOST on-device at protocol scale (same compiled
-    # program, selection-only A/B: 0.0394 vs 0.0246 — it picks recurring
-    # catastrophic basins that agree with each other on breadcube and
-    # cubetoy).
+    # config.restart_rule "energy+5k": a selection-time label cost of 5
+    # per instance on top of the final energy. Per-restart diagnostics
+    # (tools/f_diagnose.py + selector_sim.py, 96 runs x 5 restarts per
+    # scene) showed the catastrophic F basins are SPLIT states — a third
+    # instance overfits half of a true structure tightly enough that the
+    # PEARL label cost alone leaves them within a few energy units of
+    # the good K=2 basin: cubetoy picked-mean ME 0.0769 -> 0.0375
+    # (oracle 0.0269), book/breadcube unchanged. The peer-agreement rank
+    # blend and a labeling co-clustering medoid both LOSE on-device
+    # (0.0394 / 0.0697 vs 0.0246 energy-only): catastrophic basins recur
+    # across restarts often enough to agree with each other. Matches the
+    # findTwoViewMotions default.
+    restart_rule="energy+5k",
     # Extension (config.final_relabel): ICM against the FINAL descriptors
     # after merge/polish. Measured on the same sweep: mean ME 0.0312 ->
     # 0.0246 (cubetoy per-run max 0.51 -> 0.064) at equal batch time;
@@ -290,9 +297,10 @@ class _LaneBatch:
             energy = np.asarray(res.energy).reshape(n_restarts, lanes)
             pref = np.asarray(res.compound_pref).reshape(
                 n_restarts, lanes, -1)
+            nmod = np.asarray(res.n_models).reshape(n_restarts, lanes)
             pick = np.array([
                 int(select_restart(energy[:, j], pref[:, j],
-                                   self.restart_rule))
+                                   self.restart_rule, nmod[:, j]))
                 for j in range(lanes)
             ])
             for j in range(lanes):

@@ -160,6 +160,27 @@ def test_select_restart_single_run_short_circuits():
                               "agreement")) == 0
 
 
+def test_select_restart_energy_k_breaks_split_ties():
+    """'energy+5k' (config.restart_rule): a K=3 split state a few energy
+    units below the good K=2 basin loses to it, but an extra model that
+    buys a LARGE energy drop (a genuinely needed structure) still wins."""
+    from progressivex_tpu.core.engine import select_restart
+
+    pref = jnp.ones((2, 8))
+    # Split state: energy 96 at K=3 vs good 99 at K=2 -> penalty flips it.
+    e = jnp.array([96.0, 99.0])
+    k = jnp.array([3, 2])
+    assert int(select_restart(e, pref, "energy", k)) == 0
+    assert int(select_restart(e, pref, "energy+5k", k)) == 1
+    # Needed structure: K=3 is ~25 units better -> penalty cannot flip.
+    e2 = jnp.array([74.0, 99.0])
+    assert int(select_restart(e2, pref, "energy+5k", k)) == 0
+    # The coefficient parses from the rule string.
+    assert int(select_restart(e, pref, "energy+1.0k", k)) == 0
+    with pytest.raises(ValueError):
+        select_restart(e, pref, "energy+5k")
+
+
 def test_fit_result_compound_pref_matches_final_descs():
     """FitResult.compound_pref must be the max truncated preference of the
     returned (final) descriptors — the signature select_restart keys on."""

@@ -94,7 +94,7 @@ def main():
         dump_me.append(me)
         for j in range(lanes):
             pick = int(select_restart(energy[:, j], pref[:, j],
-                                      batch.restart_rule))
+                                      batch.restart_rule, nm[:, j]))
             picked.append(me[pick, j])
             best.append(me[:, j].min())
             tag = ("SELECTOR-MISS" if me[pick, j] > me[:, j].min() + 0.02

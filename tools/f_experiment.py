@@ -130,8 +130,9 @@ def main():
         rule = str(kw.get("restart_rule", "energy"))
         energy = np.asarray(res.energy).reshape(n_restarts, lanes)
         pref = np.asarray(res.compound_pref).reshape(n_restarts, lanes, -1)
+        nmod = np.asarray(res.n_models).reshape(n_restarts, lanes)
         pick = np.array([
-            int(select_restart(energy[:, j], pref[:, j], rule))
+            int(select_restart(energy[:, j], pref[:, j], rule, nmod[:, j]))
             for j in range(lanes)
         ])
         for j in range(lanes):
