@@ -50,7 +50,34 @@ def _enable_compile_cache():
         pass
 
 
+def _set_matmul_precision():
+    """Default all matmuls to f32-exact ("highest") on TPU.
+
+    The TPU MXU runs f32 matmuls as bf16 passes under jax's DEFAULT
+    precision. Two load-bearing places cannot tolerate that: the kNN
+    pairwise distances (ops/knn: |a|^2 + |b|^2 - 2ab with pixel coords up
+    to ~1e3 — a bf16 cross term has O(1e3-px^2) absolute error, corrupting
+    the radius-gated neighborhood graph and NAPSAC sampling on device
+    only), and the solvers' normal-matrix products (A^T A in the 8-point /
+    DLT refits). These are a tiny fraction of the engine's FLOPs (the hot
+    per-hypothesis scoring pipeline is elementwise; the Potts adjacency
+    matmuls are int8 and unaffected), so exactness here is nearly free —
+    and it makes device results match the f32 CPU oracle the tests pin.
+    Override with PROGX_MATMUL_PRECISION=default|high|highest.
+    """
+    setting = _os.environ.get("PROGX_MATMUL_PRECISION", "highest")
+    if setting in ("", "default"):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_default_matmul_precision", setting)
+    except Exception:  # pragma: no cover — unknown setting / ancient jax
+        pass
+
+
 _enable_compile_cache()
+_set_matmul_precision()
 
 from progressivex_tpu.models import get_family  # noqa: F401
 

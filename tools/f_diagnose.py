@@ -12,11 +12,19 @@ labeling optimizer never found the good basin).
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize force-registers the remote TPU backend over the env
+    # var; config.update is the effective override (see tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -13,12 +13,21 @@ the F protocol kwargs (dynamic where possible).
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
 sys.path.insert(0, ".")
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The image's sitecustomize force-registers the remote TPU backend
+    # with priority over the env var; config.update is the effective
+    # override (same pattern as tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():

@@ -5,8 +5,11 @@ driver's bench run is warm; see ~/.cache/progressivex_tpu/jax_cache).
 Usage: timeout 3600 python tools/tpu_prewarm.py [HF|H|F|pose|all]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main(which="all"):
