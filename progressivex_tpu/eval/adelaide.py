@@ -209,7 +209,7 @@ class _LaneBatch:
     of a multi-bucket dataset is max(compile) instead of sum(compile).
     """
 
-    def __init__(self, family, cfg, kw, scenes, names, lane_ids, n_pad,
+    def __init__(self, family, cfg, kw, scenes, names, chunk, n_pad,
                  lanes, n_restarts, seed):
         import jax
         import jax.numpy as jnp
@@ -217,6 +217,11 @@ class _LaneBatch:
         from progressivex_tpu.core.config import make_params
         from progressivex_tpu.core.engine import fit
 
+        # Everything needed to rebuild this batch at a smaller lane count
+        # (the compile-failure fallback in _compile_sequential).
+        self._build_args = (family, cfg, kw, scenes, names, chunk, n_pad,
+                            n_restarts, seed)
+        lane_ids = [chunk[j % len(chunk)] for j in range(lanes)]
         self.names, self.lane_ids = names, lane_ids
         self.lanes, self.n_restarts, self.seed = lanes, n_restarts, seed
         self.n_pad = n_pad
@@ -266,6 +271,17 @@ class _LaneBatch:
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
         res = self.run(self.data, self.mask, self.wts, keys, self.nv)
         np.asarray(res.n_models)
+
+    def halved(self):
+        """Rebuild this batch at half the lane count (compile fallback).
+
+        Returns None once lanes cannot shrink further."""
+        family, cfg, kw, scenes, names, chunk, n_pad, n_restarts, seed = \
+            self._build_args
+        if self.lanes <= 8:
+            return None
+        return _LaneBatch(family, cfg, kw, scenes, names, chunk, n_pad,
+                          self.lanes // 2, n_restarts, seed)
 
     def time_and_score(self, problem, n_timing_runs, mes):
         """Serial timing runs; appends per-scene MEs to `mes`.
@@ -341,7 +357,7 @@ def throughput_batch(problem: str, root: str | None = None,
     # 161.6s sequential vs 741-802s for two concurrent compiles — the
     # concurrent requests thrash the service instead of sharing it).
     t0 = time.perf_counter()
-    _compile_sequential(lane_batches)
+    lane_batches = _compile_sequential(lane_batches)
     compile_s = time.perf_counter() - t0
 
     # Phase 2: serial timing + scoring.
@@ -350,15 +366,40 @@ def throughput_batch(problem: str, root: str | None = None,
 
 
 def _compile_sequential(lane_batches):
+    """Compile every bucket program back-to-back.
+
+    Returns the compiled batches (same order). A bucket whose compile
+    crashes the TPU compile service (the XLA memory-space-assignment
+    check-fail some large restart-flattened programs trip) is rebuilt at
+    half the lane count and retried — the bench degrades throughput
+    instead of dying."""
+    out = []
     for b in lane_batches:
-        t0 = time.perf_counter()
-        b.compile()
-        print(
-            f"[progressivex_tpu.eval] compiled n_pad={b.n_pad} "
-            f"({b.lanes}x{b.n_restarts} rows) in "
-            f"{time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
+        while True:
+            t0 = time.perf_counter()
+            try:
+                b.compile()
+            except Exception as e:  # noqa: BLE001 — compile-service crash
+                smaller = b.halved()
+                print(
+                    f"[progressivex_tpu.eval] WARNING: compile failed for "
+                    f"n_pad={b.n_pad} ({b.lanes}x{b.n_restarts} rows): "
+                    f"{type(e).__name__}; retrying at {b.lanes // 2} lanes",
+                    file=sys.stderr,
+                )
+                if smaller is None:
+                    raise
+                b = smaller
+                continue
+            print(
+                f"[progressivex_tpu.eval] compiled n_pad={b.n_pad} "
+                f"({b.lanes}x{b.n_restarts} rows) in "
+                f"{time.perf_counter() - t0:.1f}s",
+                file=sys.stderr,
+            )
+            break
+        out.append(b)
+    return out
 
 
 def _prepare_lane_batches(problem, root, seed):
@@ -417,7 +458,18 @@ def _prepare_lane_batches(problem, root, seed):
         # allow proportionally more rows, capped at 768.
         flat_hyp = cfg.n_hypotheses * family.max_solutions
         max_rows = min(768, (384 * 4095) // max(flat_hyp, 1))
-        while target * n_restarts > max_rows and target > 64:
+        # The restart-flattened F program with sigma-marginalized ranking +
+        # final relabel trips the TPU compiler's memory-space-assignment
+        # check-fail ("conflicting pending required assignment") at 128
+        # lanes x 5 restarts = 640 rows (reproduced on the v5e compile
+        # service, 2026-08-19); every F-protocol quality measurement was
+        # made at 32 lanes x 5 = 160 rows, which compiles and runs. Cap
+        # restart-flattened batches at the measured-safe row count; the
+        # compile-failure fallback in _compile_sequential() halves lanes
+        # further if a future program still trips the bug.
+        if n_restarts > 1:
+            max_rows = min(max_rows, 160)
+        while target * n_restarts > max_rows and target > 32:
             target //= 2
         # Fill the batch to the target (cyclic replication below). A bucket
         # holding more scenes than the target grows the lane count, but
@@ -425,14 +477,13 @@ def _prepare_lane_batches(problem, root, seed):
         # in chunks of `lanes` scenes instead (the same compiled program
         # runs once per chunk).
         lanes = max(target, 1 << (len(idxs) - 1).bit_length())
-        while lanes * n_restarts > max_rows and lanes > 64:
+        while lanes * n_restarts > max_rows and lanes > 32:
             lanes //= 2
         chunks = [idxs[c: c + lanes] for c in range(0, len(idxs), lanes)] \
             if len(idxs) > lanes else [idxs]
         for chunk in chunks:
-            lane_ids = [chunk[j % len(chunk)] for j in range(lanes)]
             lane_batches.append(_LaneBatch(
-                family, cfg, kw, scenes, names, lane_ids, n_pad, lanes,
+                family, cfg, kw, scenes, names, chunk, n_pad, lanes,
                 n_restarts, seed))
     return lane_batches, full
 
@@ -469,9 +520,13 @@ def throughput_all(problems="HF", root: str | None = None,
         p: _prepare_lane_batches(p, root, seed) for p in problems.upper()
     }
     t0 = time.perf_counter()
-    _compile_sequential([b for lbs, _ in prepared.values() for b in lbs])
+    flat = _compile_sequential(
+        [b for lbs, _ in prepared.values() for b in lbs])
     compile_s = time.perf_counter() - t0
     out = {}
+    pos = 0
     for p, (lbs, full) in prepared.items():
-        out[p] = _time_batches(p, lbs, n_timing_runs, full, compile_s)
+        compiled = flat[pos: pos + len(lbs)]
+        pos += len(lbs)
+        out[p] = _time_batches(p, compiled, n_timing_runs, full, compile_s)
     return out, compile_s
