@@ -36,6 +36,9 @@ def main():
     p.add_argument("--dump", default=None,
                    help="save per-restart labels/energy/K/ME to this .npz "
                         "for offline selector-rule simulation")
+    p.add_argument("--set", action="append", default=[], metavar="K=V",
+                   help="EngineConfig field override (int), e.g. "
+                        "--set final_polish=2 --set final_relabel=4")
     args = p.parse_args()
 
     import jax
@@ -68,6 +71,13 @@ def main():
         magsac_levels=int(kw.get("magsac_levels", 0)),
         final_relabel=int(kw.get("final_relabel", 0)),
     )
+    if args.set:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, **{k: int(v) for k, v in
+                    (s.split("=", 1) for s in args.set)})
+        print(f"config overrides: {args.set}", file=sys.stderr)
     root, names, _ = discover_scenes("F")
     assert args.scene in names, f"{args.scene} not in {names}"
     scenes = [load_corr_scene(args.scene, root=root)]
