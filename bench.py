@@ -29,7 +29,7 @@ def main():
         f"(batch={h_n}, full_dataset={h_full})\n"
         f"F: {f_sps:.2f} scenes/s ME={f_me:.4f} "
         f"(batch={f_n}, full_dataset={f_full})\n"
-        f"compile (all programs, parallel): {compile_s:.1f}s",
+        f"compile (all programs, sequential): {compile_s:.1f}s",
         file=sys.stderr,
     )
     h_compile = f_compile = compile_s

@@ -22,11 +22,14 @@ vanishing points accept 0/1 only and fall back to uniform, matching
 
 `max_iters` (the reference's per-proposal RANSAC iteration cap,
 `progressivex_python.cpp:271`) sets the batched hypothesis budget: one
-proposal round draws sub-batches of min(max_iters, per-family cap — see
-`_MAX_HYP_BY_FAMILY`) minimal samples at a time, continuing until the
-RANSAC k* confidence criterion is met or the full max_iters budget is
-exhausted (engine._proposal) — the batched form of the reference's
-adaptive sequential search.
+proposal round draws min(max_iters, per-family cap — see
+`_MAX_HYP_BY_FAMILY`) minimal samples. By DEFAULT exactly one such
+sub-batch is drawn per round — a measured-better deviation from the
+literal reference semantics (see `_MAX_SUBBATCHES` for the numbers);
+setting PROGX_MAX_SUBBATCHES>1 draws further sub-batches until the RANSAC
+k* confidence criterion is met or the full max_iters budget is exhausted
+(engine._proposal) — the literal batched form of the reference's adaptive
+sequential search.
 
 Extra keyword (extension): `random_seed` — the engine is deterministic
 given a seed; the reference uses an unseeded std RNG.

@@ -99,13 +99,26 @@ class EngineConfig:
     # reprojection Gauss-Newton gains real accuracy from extra warm
     # iterations; see models/pnp._refine) — H/F keep 0 since PEARL's
     # per-round refits already converge for them.
-    unroll_icm: bool = False  # unroll ICM's convergence while_loop into
+    unroll_icm: bool = True  # unroll ICM's convergence while_loop into
     # icm_sweeps predicated steps (ops/labeling.icm_sweeps): same labels,
     # one less loop level for the TPU backend's memory-space-assignment
     # pass (the cold-compile driver of the deeply nested fit program).
-    unroll_pearl: bool = False  # same trade for PEARL's alternation loop
-    # (core/pearl.pearl_run): pearl_iters predicated iterations instead of
-    # a convergence while_loop.
+    # Default ON since round 3 — the while-loop nest drove both the 459s
+    # cold compile and the memory-space-assignment check-fail that capped
+    # F batches at 160 device rows; the predicated steps are semantically
+    # identical and a vmapped batch paid the worst lane's sweep count
+    # either way.
+    unroll_pearl: bool = True  # same trade for PEARL's alternation loop
+    # (core/pearl.pearl_run) AND the final merge pass
+    # (core/pearl.merge_instances): pearl_iters / merge-round predicated
+    # iterations instead of convergence while_loops. Default ON (round 3,
+    # see unroll_icm).
+    unroll_rounds: bool = False  # unroll the OUTER proposal-round
+    # while_loop into max_rounds predicated rounds. The body already
+    # freezes done lanes (engine._fit_prepared), so semantics are
+    # identical; trades a 10x larger traced graph for zero while nesting.
+    # Off by default: measured on the v5e, the inner unrolls alone fix the
+    # compile cliff, and the 10x graph raises tracing time.
     final_relabel: int = 0  # ICM sweeps against the FINAL descriptors
     # (after merge_pass + final_polish): PEARL's last labeling predates the
     # merge reassignments and the polish refits, so boundary points can sit

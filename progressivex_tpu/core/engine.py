@@ -826,9 +826,18 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
         )
         return new_state, rounds + jnp.where(state.done, 0, 1), log
 
-    state, rounds_run, log = lax.while_loop(
-        cond2, body, (state, jnp.int32(0), log0)
-    )
+    if cfg.unroll_rounds:
+        # Predicated unroll of the outer loop (config.unroll_rounds): the
+        # body already freezes done lanes, so running it max_rounds times
+        # unconditionally is semantically identical to the while_loop.
+        carry = (state, jnp.int32(0), log0)
+        for _ in range(cfg.max_rounds):
+            carry = body(carry)
+        state, rounds_run, log = carry
+    else:
+        state, rounds_run, log = lax.while_loop(
+            cond2, body, (state, jnp.int32(0), log0)
+        )
     if cfg.merge_pass:
         # Final merge moves: dissolve split structures that per-point ICM
         # updates cannot escape (see pearl.merge_instances).
@@ -855,7 +864,8 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
         dcost_f = data_costs(r2_f, state.active, point_mask,
                              params.spatial_weight, trunc_sq_f)
         labels_f, _ = icm_sweeps(dcost_f, state.labels, adj,
-                                 params.spatial_weight, cfg.final_relabel)
+                                 params.spatial_weight, cfg.final_relabel,
+                                 unroll=cfg.unroll_icm)
         state = state._replace(labels=labels_f)
     pref_f = (truncated_preference(r2_f, trunc_sq_f)
               * state.active[:, None] * point_mask[None, :])

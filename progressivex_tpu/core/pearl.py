@@ -466,7 +466,7 @@ def merge_instances(
             dcost_m = labeling_ops.data_costs(
                 r2_m, m_active, point_mask, w, trunc_sq)
             m_labels, _ = labeling_ops.icm_sweeps(
-                dcost_m, m_labels, adj, w, 2)
+                dcost_m, m_labels, adj, w, 2, unroll=cfg.unroll_icm)
             e = total_energy(dcost_m, m_labels, m_active)
             return m_labels, jnp.where(jnp.isfinite(delta), e, jnp.inf)
 
@@ -483,10 +483,18 @@ def merge_instances(
     def cond(carry):
         return carry[4] & (carry[3] < n_rounds)
 
-    descs, active, labels, _, _ = lax.while_loop(
-        cond, one_round,
-        (descs, active, labels, jnp.int32(0), jnp.ones((), bool)),
-    )
+    init = (descs, active, labels, jnp.int32(0), jnp.ones((), bool))
+    if cfg.unroll_pearl:
+        # Predicated unroll (see config.unroll_pearl): a round whose
+        # predecessor made no merge passes through unchanged.
+        carry = init
+        for _ in range(n_rounds):
+            new = one_round(carry)
+            keep = carry[4]
+            carry = tuple(jnp.where(keep, n, c) for n, c in zip(new, carry))
+        descs, active, labels, _, _ = carry
+    else:
+        descs, active, labels, _, _ = lax.while_loop(cond, one_round, init)
     labels = jnp.where(
         labeling_ops.labels_active_mask(labels, active),
         labels, outlier_label,

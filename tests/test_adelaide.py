@@ -16,9 +16,12 @@ from progressivex_tpu import findHomographies, findTwoViewMotions
 from progressivex_tpu.io.data import DEFAULT_ROOT, load_corr_scene
 from progressivex_tpu.io.metrics import misclassification
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DEFAULT_ROOT), reason="bundled scenes unavailable"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(DEFAULT_ROOT), reason="bundled scenes unavailable"
+    ),
+    pytest.mark.slow,
+]
 
 H_KW = dict(
     threshold=4.0, conf=0.5, spatial_coherence_weight=0.05,

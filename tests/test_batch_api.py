@@ -5,6 +5,8 @@ thresholds for the calibrated path."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from progressivex_tpu import (
     findHomographies,
     findHomographiesBatched,

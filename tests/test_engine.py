@@ -4,6 +4,8 @@ hypothesis budgets keep CPU compile time manageable)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -13,6 +13,8 @@ margin over the observed run.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from progressivex_tpu import findHomographies, findLines, findTwoViewMotions
 from progressivex_tpu.io.metrics import misclassification
 

@@ -12,6 +12,8 @@ without being a doesn't-crash gate.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from progressivex_tpu import find6DPoses
 from progressivex_tpu.io.data import load_tless_scene
 from progressivex_tpu.io.metrics import pose_errors

@@ -8,11 +8,14 @@ emulation, not just smoke-checked.
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
 from progressivex_tpu.core import engine
+
+pytestmark = pytest.mark.slow
 from progressivex_tpu.core.config import EngineConfig, make_params
 from progressivex_tpu.models import get_family
 from progressivex_tpu.parallel.sharding import fit_batch, make_mesh

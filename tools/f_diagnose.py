@@ -74,9 +74,10 @@ def main():
     if args.set:
         import dataclasses
 
+        from tools.compile_probe import parse_override
+
         cfg = dataclasses.replace(
-            cfg, **{k: int(v) for k, v in
-                    (s.split("=", 1) for s in args.set)})
+            cfg, **dict(parse_override(s) for s in args.set))
         print(f"config overrides: {args.set}", file=sys.stderr)
     root, names, _ = discover_scenes("F")
     assert args.scene in names, f"{args.scene} not in {names}"
