@@ -64,6 +64,55 @@ def main():
         file=sys.stderr,
     )
 
+    # Extras (skippable with PROGX_BENCH_EXTRAS=0):
+    #  * unique-dataset pass seconds — time-to-answer for one pass over
+    #    the DISTINCT scenes at minimal lane counts (the saturated-batch
+    #    scenes/s above cannot show it; reference notebooks report the
+    #    per-scene runtime sum, adelaideH.ipynb final cell),
+    #  * the synthetic full-cardinality 19 H + 18 F dataset
+    #    (eval/synth_adelaide.py) through the same throughput_batch path —
+    #    full-dataset-scale evidence for the multi-bucket harness. MEs on
+    #    synthetic geometry are NOT comparable to the published per-scene
+    #    numbers; they gate harness correctness at scale.
+    import os
+
+    extras = {}
+    if os.environ.get("PROGX_BENCH_EXTRAS", "1") != "0":
+        from progressivex_tpu.eval.adelaide import (
+            dataset_pass_seconds, throughput_batch)
+        from progressivex_tpu.eval.synth_adelaide import ensure_synth_dataset
+
+        hp_s, hp_n, hp_c = dataset_pass_seconds("H")
+        fp_s, fp_n, fp_c = dataset_pass_seconds("F")
+        print(
+            f"dataset pass: H {hp_n} scenes in {hp_s * 1e3:.1f} ms, "
+            f"F {fp_n} scenes in {fp_s * 1e3:.1f} ms "
+            f"(extra compiles {hp_c + fp_c:.1f}s)",
+            file=sys.stderr,
+        )
+        sh = throughput_batch("H", root=ensure_synth_dataset("H"),
+                              n_timing_runs=1, lane_target=1)
+        sf = throughput_batch("F", root=ensure_synth_dataset("F"),
+                              n_timing_runs=1, lane_target=1)
+        print(
+            f"synthetic full-cardinality: H {sh[2]} scenes ME={sh[1]:.4f}, "
+            f"F {sf[2]} scenes ME={sf[1]:.4f}",
+            file=sys.stderr,
+        )
+        extras = {
+            "adelaideH_dataset_seconds": round(hp_s, 4),
+            "adelaideH_dataset_n_scenes": hp_n,
+            "adelaideF_dataset_seconds": round(fp_s, 4),
+            "adelaideF_dataset_n_scenes": fp_n,
+            "extras_compile_seconds": round(hp_c + fp_c + sh[4] + sf[4], 1),
+            "synth19H_n_scenes": sh[2],
+            "synth19H_mean_misclassification": round(sh[1], 4),
+            "synth19H_dataset_seconds": round(sh[2] / sh[0], 4),
+            "synth18F_n_scenes": sf[2],
+            "synth18F_mean_misclassification": round(sf[1], 4),
+            "synth18F_dataset_seconds": round(sf[2] / sf[0], 4),
+        }
+
     # Reference MEs on the SAME scenes (saved notebook outputs): full
     # datasets -> the published means; bundled fallback -> the reference's
     # per-scene values for exactly those scenes (adelaideH.ipynb:
@@ -93,6 +142,7 @@ def main():
         "tless_time_s": round(pose_time, 3),
         "tless_ref_time_s": 57.57,
         "compile_seconds_all_programs": round(h_compile, 1),
+        **extras,
     }))
 
 

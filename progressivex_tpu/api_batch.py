@@ -45,9 +45,16 @@ def _next_pow2(n: int) -> int:
 
 @functools.lru_cache(maxsize=32)
 def _compiled_fit_rows(family_name: str, cfg: EngineConfig, n_pad: int,
-                       rows: int, has_graph: bool):
+                       rows: int, has_graph: bool, mesh=None):
     """One program per (family, config, pad level, row count): vmapped
-    over rows with per-row n_valid and threshold as runtime values."""
+    over rows with per-row n_valid and threshold as runtime values.
+
+    With a mesh (a jax.sharding.Mesh with a "scenes" axis), the row axis
+    shards across the mesh via shard_map — scene parallelism is pure SPMD
+    with zero communication (SURVEY.md §2.4: the TPU-native scaling axis
+    the single-threaded reference lacks). `rows` must be divisible by the
+    scenes-axis size; jax.sharding.Mesh hashes by device grid + axis
+    names, so it participates in the lru key like the config does."""
     family = get_family(family_name)
 
     def run(data, mask, weights, keys, params, n_valids, thresholds,
@@ -60,7 +67,37 @@ def _compiled_fit_rows(family_name: str, cfg: EngineConfig, n_pad: int,
         return jax.vmap(one)(data, mask, weights, keys, n_valids,
                              thresholds, graph_data)
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("scenes")
+    sharded = jax.shard_map(
+        run,
+        mesh=mesh,
+        # params (index 4) is a replicated pytree of scalars; every other
+        # input carries a leading row axis that shards across scenes.
+        in_specs=(spec, spec, spec, spec, P(), spec, spec, spec),
+        out_specs=spec,
+        # The per-row PRNG fold makes the carry varying after round 0;
+        # skip the static varying-mesh-axes check (see parallel/sharding).
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _resolve_mesh(mesh, n_devices):
+    """Build/validate the scenes mesh for the batched front ends."""
+    if mesh is not None:
+        if "scenes" not in mesh.axis_names:
+            raise ValueError("mesh must have a 'scenes' axis")
+        return mesh
+    if n_devices is None or int(n_devices) <= 1:
+        return None
+    from progressivex_tpu.parallel.sharding import make_mesh
+
+    return make_mesh(int(n_devices), 1)
 
 
 def _run_batched(
@@ -87,7 +124,10 @@ def _run_batched(
     final_polish=0,
     lo_spatial_lambda=0.5,
     do_logging=False,
+    mesh=None,
+    n_devices=None,
 ):
+    mesh = _resolve_mesh(mesh, n_devices)
     n_scenes = len(datas)
     th_vec = np.broadcast_to(
         np.asarray(thresholds, np.float32), (n_scenes,)
@@ -128,9 +168,13 @@ def _run_batched(
         buckets.setdefault(_api._pad_to(d.shape[0]), []).append(i)
 
     results: list = [None] * n_scenes
+    n_scene_axis = 1 if mesh is None else mesh.shape["scenes"]
     for n_pad in sorted(buckets):
         idxs = buckets[n_pad]
-        lanes = _next_pow2(len(idxs))
+        # Lanes cover the scenes AND divide evenly over the mesh's scenes
+        # axis (both are powers of two, so max() suffices); total rows
+        # (lanes * n_restarts) then also divide evenly.
+        lanes = max(_next_pow2(len(idxs)), _next_pow2(n_scene_axis))
         lane_ids = [idxs[j % len(idxs)] for j in range(lanes)]
         d_dim = datas[idxs[0]].shape[1]
         data = np.zeros((lanes, n_pad, d_dim), np.float32)
@@ -157,11 +201,24 @@ def _run_batched(
                 gd[j, :n] = graph_datas[i]
         rows = lanes * n_restarts
         tile = lambda a: jnp.asarray(np.concatenate([a] * n_restarts))
-        fit_fn = _compiled_fit_rows(family_name, cfg, n_pad, rows, has_graph)
-        keys = jax.random.split(
-            jax.random.fold_in(jax.random.PRNGKey(int(random_seed)), n_pad),
-            rows,
-        )
+        fit_fn = _compiled_fit_rows(family_name, cfg, n_pad, rows, has_graph,
+                                    mesh)
+        # Row keys derive from (scene index, restart replica), NOT the row
+        # position: results are then invariant to the lane padding and to
+        # the mesh size (a scene fitted alone, in a bigger batch, or
+        # sharded over 8 devices returns the identical labeling —
+        # tests/test_batch_mesh.py gates this). Filler lanes (cyclic
+        # replication past the scene list) share their original's key and
+        # are discarded below.
+        base = jax.random.fold_in(
+            jax.random.PRNGKey(int(random_seed)), n_pad)
+        sids = jnp.asarray(
+            np.tile(np.asarray(lane_ids, np.uint32), n_restarts))
+        rids = jnp.asarray(
+            np.repeat(np.arange(n_restarts, dtype=np.uint32), lanes))
+        keys = jax.vmap(
+            lambda s, r: jax.random.fold_in(jax.random.fold_in(base, s), r)
+        )(sids, rids)
         res = fit_fn(tile(data), tile(mask), tile(wts), keys, params,
                      tile(nv), tile(th), tile(gd))
         res = jax.tree.map(np.asarray, res)
@@ -206,6 +263,8 @@ def findHomographiesBatched(
     n_restarts=1,
     magsac_levels=4,
     final_relabel=2,
+    mesh=None,
+    n_devices=None,
 ):
     """Multi-homography fitting over a LIST of scenes in one device batch.
     Each element of corrs_list is an [n_i, 4] array; returns a list of
@@ -229,6 +288,7 @@ def findHomographiesBatched(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
+        mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -251,6 +311,8 @@ def findTwoViewMotionsBatched(
     magsac_levels=4,
     final_relabel=2,
     restart_rule="energy+5k",
+    mesh=None,
+    n_devices=None,
 ):
     """Multi two-view-motion fitting over a LIST of scenes in one device
     batch. Returns a list of ([3K_i, 3] stacked F rows, labeling_i);
@@ -274,7 +336,7 @@ def findTwoViewMotionsBatched(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
-        restart_rule=restart_rule,
+        restart_rule=restart_rule, mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -295,6 +357,8 @@ def findLinesBatched(
     do_logging=False,
     random_seed=0,
     n_restarts=1,
+    mesh=None,
+    n_devices=None,
 ):
     """Multi 2D-line fitting over a LIST of point sets in one device
     batch. Returns a list of ([K_i, 3] (a,b,c) lines, labeling_i)."""
@@ -316,6 +380,7 @@ def findLinesBatched(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
+        mesh=mesh, n_devices=n_devices,
     )
     return [(d.astype(np.float64), l) for d, l in out]
 
@@ -336,6 +401,8 @@ def findVanishingPointsBatched(
     do_logging=False,
     random_seed=0,
     n_restarts=1,
+    mesh=None,
+    n_devices=None,
 ):
     """Multi vanishing-point fitting over a LIST of segment sets in one
     device batch. Returns a list of ([K_i, 3] unit VPs, labeling_i)."""
@@ -357,6 +424,7 @@ def findVanishingPointsBatched(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
+        mesh=mesh, n_devices=n_devices,
     )
     return [(d.astype(np.float64), l) for d, l in out]
 
@@ -378,6 +446,8 @@ def findEssentialMatricesBatched(
     do_logging=False,
     random_seed=0,
     n_restarts=1,
+    mesh=None,
+    n_devices=None,
 ):
     """Multi essential-matrix fitting over a LIST of scenes in one device
     batch (extension — see `findEssentialMatrices`). K1_list/K2_list are
@@ -422,7 +492,7 @@ def findEssentialMatricesBatched(
         maximum_model_number=maximum_model_number, sampler_id=sampler_id,
         scoring_exponent=scoring_exponent, graph_datas=graphs,
         do_logging=do_logging, random_seed=random_seed,
-        n_restarts=n_restarts,
+        n_restarts=n_restarts, mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -442,6 +512,8 @@ def find6DPosesBatched(
     do_logging=False,
     random_seed=0,
     n_restarts=1,
+    mesh=None,
+    n_devices=None,
 ):
     """Multi 6D-pose fitting over a LIST of scenes in one device batch.
     K_list is one [3,3] per scene OR a single shared [3,3]. Per-scene
@@ -484,5 +556,6 @@ def find6DPosesBatched(
         scoring_exponent=2, graph_datas=graphs, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
         lo_spatial_lambda=0.0, final_polish=3,
+        mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 4).astype(np.float64), l) for d, l in out]

@@ -210,7 +210,7 @@ class _LaneBatch:
     """
 
     def __init__(self, family, cfg, kw, scenes, names, chunk, n_pad,
-                 lanes, n_restarts, seed):
+                 lanes, n_restarts, seed, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -220,7 +220,7 @@ class _LaneBatch:
         # Everything needed to rebuild this batch at a smaller lane count
         # (the compile-failure fallback in _compile_sequential).
         self._build_args = (family, cfg, kw, scenes, names, chunk, n_pad,
-                            n_restarts, seed)
+                            n_restarts, seed, mesh)
         lane_ids = [chunk[j % len(chunk)] for j in range(lanes)]
         self.names, self.lane_ids = names, lane_ids
         self.lanes, self.n_restarts, self.seed = lanes, n_restarts, seed
@@ -258,11 +258,25 @@ class _LaneBatch:
             max_models=kw["maximum_model_number"],
             scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
         )
-        self.run = jax.jit(jax.vmap(
+        inner = jax.vmap(
             lambda d, m, w, k, nvi: fit(
                 family, cfg, params._replace(n_valid=nvi), d, m, w, k
             )
-        ))
+        )
+        if mesh is None:
+            self.run = jax.jit(inner)
+        else:
+            # Scene-axis sharding of the bench batch over a device mesh
+            # (PROGX_BENCH_DEVICES) — pure SPMD, zero communication;
+            # row counts are kept divisible by the axis size in
+            # _prepare_lane_batches.
+            from jax.sharding import PartitionSpec as P
+
+            spec = P("scenes")
+            self.run = jax.jit(jax.shard_map(
+                inner, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec,
+                check_vma=False,
+            ))
 
     def compile(self):
         """Trigger (and wait for) compilation without timing it as a run."""
@@ -276,12 +290,12 @@ class _LaneBatch:
         """Rebuild this batch at half the lane count (compile fallback).
 
         Returns None once lanes cannot shrink further."""
-        family, cfg, kw, scenes, names, chunk, n_pad, n_restarts, seed = \
-            self._build_args
+        (family, cfg, kw, scenes, names, chunk, n_pad, n_restarts, seed,
+         mesh) = self._build_args
         if self.lanes <= 8:
             return None
         return _LaneBatch(family, cfg, kw, scenes, names, chunk, n_pad,
-                          self.lanes // 2, n_restarts, seed)
+                          self.lanes // 2, n_restarts, seed, mesh)
 
     def time_and_score(self, problem, n_timing_runs, mes):
         """Serial timing runs; appends per-scene MEs to `mes`.
@@ -336,7 +350,8 @@ class _LaneBatch:
 
 
 def throughput_batch(problem: str, root: str | None = None,
-                     n_timing_runs: int = 3, seed: int = 0):
+                     n_timing_runs: int = 3, seed: int = 0,
+                     lane_target: int | None = None):
     """Scene-batched throughput measurement — the TPU-native way to run a
     dataset: scenes grouped into size buckets, each bucket one padded
     vmapped device program; throughput = total scenes / summed batch time.
@@ -344,12 +359,15 @@ def throughput_batch(problem: str, root: str | None = None,
     Throughput counts device lanes, i.e. it is the saturated-batch rate
     (small scene sets are replicated cyclically to fill the lane target;
     see the README benchmark note). Per-scene quality averaging is keyed
-    by scene and immune to the replication.
+    by scene and immune to the replication. `lane_target` overrides the
+    measured-best 128-lane batch target (CPU-hosted tests use small
+    targets; the TPU bench keeps the default).
 
     Returns (scenes_per_sec, mean_me, n_scenes_batched, full_dataset,
     compile_seconds).
     """
-    lane_batches, full = _prepare_lane_batches(problem, root, seed)
+    lane_batches, full = _prepare_lane_batches(problem, root, seed,
+                                               lane_target)
 
     # Phase 1: compile every bucket program SEQUENTIALLY. Measured on the
     # tunneled v5e: the remote compile service reuses work across back-to-
@@ -402,7 +420,7 @@ def _compile_sequential(lane_batches):
     return out
 
 
-def _prepare_lane_batches(problem, root, seed):
+def _prepare_lane_batches(problem, root, seed, lane_target=None):
     """Bucket the dataset's scenes and build every lane batch (device
     arrays + jitted-but-uncompiled programs). Returns (batches, full)."""
     from progressivex_tpu.core.config import EngineConfig
@@ -413,6 +431,16 @@ def _prepare_lane_batches(problem, root, seed):
     kw = H_PROTOCOL if problem == "H" else F_PROTOCOL
     family = get_family("homography" if problem == "H" else "fundamental")
     scenes = [load_corr_scene(n, root=scene_root) for n in names]
+
+    # PROGX_BENCH_DEVICES=n shards every lane batch's row axis over an
+    # n-device "scenes" mesh (SPMD scene parallelism; tested for numerical
+    # parity on the virtual CPU mesh — tests/test_batch_mesh.py).
+    mesh = None
+    n_dev = int(os.environ.get("PROGX_BENCH_DEVICES", "1"))
+    if n_dev > 1:
+        from progressivex_tpu.parallel.sharding import make_mesh
+
+        mesh = make_mesh(n_dev, 1)
 
     from progressivex_tpu.api import _hyp_budget, _n_subbatches
 
@@ -449,7 +477,8 @@ def _prepare_lane_batches(problem, root, seed):
         # required assignment" check-fail). Scenes replicate cyclically to
         # fill the batch exactly; per-scene ME averaging below is immune
         # to the uneven replication.
-        target = 128  # measured best: small scenes saturate ~300 scenes/s
+        target = lane_target or 128
+        # 128 measured best: small scenes saturate ~300 scenes/s
         # past 128 lanes, large scenes fit 128 lanes since the banded
         # adjacency removed the dense [N, N] per-lane tensor
         # Total device rows (lanes x restarts) bounded by the proposal
@@ -479,12 +508,16 @@ def _prepare_lane_batches(problem, root, seed):
         lanes = max(target, 1 << (len(idxs) - 1).bit_length())
         while lanes * n_restarts > max_rows and lanes > 32:
             lanes //= 2
+        if mesh is not None:
+            # Rows must divide evenly across the mesh's scenes axis
+            # (lanes and the axis size are both powers of two).
+            lanes = max(lanes, n_dev)
         chunks = [idxs[c: c + lanes] for c in range(0, len(idxs), lanes)] \
             if len(idxs) > lanes else [idxs]
         for chunk in chunks:
             lane_batches.append(_LaneBatch(
                 family, cfg, kw, scenes, names, chunk, n_pad, lanes,
-                n_restarts, seed))
+                n_restarts, seed, mesh))
     return lane_batches, full
 
 
@@ -503,6 +536,41 @@ def _time_batches(problem, lane_batches, n_timing_runs, full, compile_s):
               file=sys.stderr)
     mean_me = float(np.mean([np.mean(v) for v in mes.values()]))
     return scenes_per_s, mean_me, total_scenes, full, compile_s
+
+
+def dataset_pass_seconds(problem: str, root: str | None = None,
+                         seed: int = 0, n_timing_runs: int = 3):
+    """Wall seconds for ONE pass over the DISTINCT scenes — the
+    time-to-answer metric the saturated-batch scenes/s cannot show
+    (VERDICT r2 weak #5): lane batches sized to the scene count (padded
+    only to the next power of two), restarts included, summed over
+    buckets, best of `n_timing_runs`.
+
+    The reference notebooks report exactly this quantity as the per-scene
+    runtime sum (`adelaideH.ipynb` final cell: 19 x 0.077 s = 1.46 s).
+
+    Returns (pass_seconds, n_distinct_scenes, compile_seconds).
+    """
+    lane_batches, _ = _prepare_lane_batches(problem, root, seed,
+                                            lane_target=1)
+    t0 = time.perf_counter()
+    lane_batches = _compile_sequential(lane_batches)
+    compile_s = time.perf_counter() - t0
+    import jax
+
+    n_distinct = sum(len(set(b.lane_ids)) for b in lane_batches)
+    times = []
+    for i in range(n_timing_runs):
+        total = 0.0
+        for b in lane_batches:
+            keys = jax.random.split(
+                jax.random.PRNGKey(seed + i + 1), b.ns)
+            t0 = time.perf_counter()
+            res = b.run(b.data, b.mask, b.wts, keys, b.nv)
+            np.asarray(res.n_models)
+            total += time.perf_counter() - t0
+        times.append(total)
+    return min(times), n_distinct, compile_s
 
 
 def throughput_all(problems="HF", root: str | None = None,
