@@ -42,6 +42,14 @@ def main():
     p.add_argument("--no-cache", action="store_true",
                    help="disable the persistent compile cache for a true "
                         "cold measurement")
+    p.add_argument("--score", action="store_true",
+                   help="also score per-scene MEs over the timing runs "
+                        "(the bench's time_and_score path)")
+    p.add_argument("--jit", action="store_true",
+                   help="skip the AOT lower/compile split and compile via "
+                        "the first jit call (the bench-visible path; AOT "
+                        "executables hit a ~400s first-execution stall on "
+                        "the tunneled backend that plain jit does not)")
     args = p.parse_args()
 
     if args.no_cache:
@@ -94,27 +102,43 @@ def main():
           f"x{n_restarts} restarts = {batch.ns} rows, "
           f"hyp={cfg.n_hypotheses}x{family.max_solutions}",
           file=sys.stderr, flush=True)
-    # AOT split: trace+lower happens on the host, compile on the backend
-    # service — the cliff lives in the latter, but a 10x unrolled graph
-    # can also blow up the former.
-    keys0 = jax.random.split(jax.random.PRNGKey(0), batch.ns)
-    t0 = time.perf_counter()
-    lowered = batch.run.lower(batch.data, batch.mask, batch.wts, keys0,
-                              batch.nv)
-    t1 = time.perf_counter()
-    print(f"lower: {t1 - t0:.1f}s", flush=True)
-    compiled = lowered.compile()
-    t2 = time.perf_counter()
-    print(f"compile: {t2 - t1:.1f}s (total {t2 - t0:.1f}s)", flush=True)
-    batch.run = compiled
-    for i in range(args.runs):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), batch.ns)
+    if args.jit:
         t0 = time.perf_counter()
-        res = batch.run(batch.data, batch.mask, batch.wts, keys, batch.nv)
-        np.asarray(res.n_models)
-        dt = time.perf_counter() - t0
-        print(f"run {i}: {dt * 1e3:.1f} ms "
-              f"({args.lanes / dt:.1f} scenes/s)", flush=True)
+        batch.compile()
+        print(f"compile+first run (jit): {time.perf_counter() - t0:.1f}s",
+              flush=True)
+    else:
+        # AOT split: trace+lower happens on the host, compile on the
+        # backend service — the cliff lives in the latter, but a 10x
+        # unrolled graph can also blow up the former.
+        keys0 = jax.random.split(jax.random.PRNGKey(0), batch.ns)
+        t0 = time.perf_counter()
+        lowered = batch.run.lower(batch.data, batch.mask, batch.wts, keys0,
+                                  batch.nv)
+        t1 = time.perf_counter()
+        print(f"lower: {t1 - t0:.1f}s", flush=True)
+        compiled = lowered.compile()
+        t2 = time.perf_counter()
+        print(f"compile: {t2 - t1:.1f}s (total {t2 - t0:.1f}s)", flush=True)
+        batch.run = compiled
+    if args.score:
+        mes: dict = {}
+        batch.time_and_score(args.problem, args.runs, mes)
+        for nm, v in sorted(mes.items()):
+            print(f"ME {nm}: mean {float(np.mean(v)):.4f} "
+                  f"over {len(v)} runs", flush=True)
+        print(f"mean ME: {float(np.mean([np.mean(v) for v in mes.values()])):.4f}",
+              flush=True)
+    else:
+        for i in range(args.runs):
+            keys = jax.random.split(jax.random.PRNGKey(i + 1), batch.ns)
+            t0 = time.perf_counter()
+            res = batch.run(batch.data, batch.mask, batch.wts, keys,
+                            batch.nv)
+            np.asarray(res.n_models)
+            dt = time.perf_counter() - t0
+            print(f"run {i}: {dt * 1e3:.1f} ms "
+                  f"({args.lanes / dt:.1f} scenes/s)", flush=True)
 
 
 if __name__ == "__main__":
