@@ -7,14 +7,21 @@ synthetic data (VERDICT r2 missing #3):
     (`example_multi_lines.ipynb`: Canny -> findLines),
   * multi-vanishing-point fitting on detected line segments
     (`example_multi_vanishing_point.ipynb`: pylsd segments ->
-    findVanishingPoints; here OpenCV's LSD/HoughLinesP),
-  * multi-homography fitting on SIFT matches between the two views
+    findVanishingPoints),
+  * multi-homography fitting on real feature matches between two views
     (`example_multi_homography.ipynb`: SIFT + BF matching ->
     findHomographies).
 
+Detectors: OpenCV when installed, else the pure-NumPy fallbacks in
+progressivex_tpu.io.detect (Canny + Hough segments) — this image ships
+no OpenCV, and without the fallback the demo never exercised real
+detector noise. The homography demo without SIFT uses the reference's
+bundled REAL keypoint matches (`examples/img/breadcube.txt`, the same
+detector output the reference's own demo fits), ignoring the GT column.
+
 Images ship with the reference checkout (`examples/img/unihouse1.png`,
-`breadcube1/2.png`); pass --img-dir to point elsewhere. Skips loudly when
-OpenCV or the images are unavailable.
+`breadcube1/2.png`); pass --img-dir to point elsewhere. Skips loudly
+when the images are unavailable.
 
     python examples/demo_real_images.py [--img-dir DIR] [--which all]
 """
@@ -40,6 +47,36 @@ def _require(img_dir, *names):
     return paths
 
 
+def _canny_points(path, cv2):
+    """Edge point set for the line demo, by whichever detector exists."""
+    if cv2 is not None:
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        edges = cv2.Canny(img, 150, 300) > 0
+    else:
+        from progressivex_tpu.io.detect import canny, load_grayscale
+
+        edges = canny(load_grayscale(path))
+    ys, xs = np.nonzero(edges)
+    return np.stack([xs, ys], axis=1).astype(np.float64)
+
+
+def _segments(path, cv2):
+    """Line segments for the VP demo, by whichever detector exists."""
+    if cv2 is not None:
+        img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        try:
+            lsd = cv2.createLineSegmentDetector()
+            return lsd.detect(img)[0].reshape(-1, 4).astype(np.float64)
+        except Exception:  # noqa: BLE001 — LSD unavailable in some builds
+            hl = cv2.HoughLinesP(cv2.Canny(img, 100, 200), 1, np.pi / 180,
+                                 60, minLineLength=40, maxLineGap=4)
+            return hl.reshape(-1, 4).astype(np.float64)
+    from progressivex_tpu.io.detect import canny, hough_segments, load_grayscale
+
+    edges = canny(load_grayscale(path))
+    return hough_segments(edges, n_lines=32, min_len=30.0)
+
+
 def demo_lines(cv2, img_dir):
     """Canny edge points -> multi 2D-line fitting (ref: 3180 points,
     ~7 lines in 0.709 s on the reference CPU)."""
@@ -48,12 +85,10 @@ def demo_lines(cv2, img_dir):
     paths = _require(img_dir, "unihouse1.png")
     if paths is None:
         return
-    img = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
-    edges = cv2.Canny(img, 150, 300)
-    ys, xs = np.nonzero(edges)
+    pts = _canny_points(paths[0], cv2)
     # Subsample to a few thousand points like the notebook's edge set.
-    sel = np.random.default_rng(0).permutation(len(xs))[:4000]
-    pts = np.stack([xs[sel], ys[sel]], axis=1).astype(np.float64)
+    sel = np.random.default_rng(0).permutation(len(pts))[:4000]
+    pts = pts[sel]
     t0 = time.perf_counter()
     lines, labels = findLines(
         pts, threshold=3.0, conf=0.5, spatial_coherence_weight=0.0,
@@ -75,19 +110,12 @@ def demo_vanishing_points(cv2, img_dir):
     paths = _require(img_dir, "unihouse1.png")
     if paths is None:
         return
-    img = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
-    try:
-        lsd = cv2.createLineSegmentDetector()
-        segs = lsd.detect(img)[0].reshape(-1, 4)
-    except Exception:  # noqa: BLE001 — LSD unavailable in some builds
-        hl = cv2.HoughLinesP(cv2.Canny(img, 100, 200), 1, np.pi / 180, 60,
-                             minLineLength=40, maxLineGap=4)
-        segs = hl.reshape(-1, 4).astype(np.float64)
+    segs = _segments(paths[0], cv2)
     # Filter short segments like the notebook (keeps the dominant
     # structure directions).
     lens = np.hypot(segs[:, 2] - segs[:, 0], segs[:, 3] - segs[:, 1])
-    segs = segs[lens > np.percentile(lens, 70)]
-    weights = lens[lens > np.percentile(lens, 70)]
+    keep = lens > np.percentile(lens, 70)
+    segs, weights = segs[keep], lens[keep]
     t0 = time.perf_counter()
     vps, labels = findVanishingPoints(
         segs.astype(np.float64), weights=weights, threshold=1.5, conf=0.5,
@@ -103,23 +131,36 @@ def demo_vanishing_points(cv2, img_dir):
 
 
 def demo_homographies(cv2, img_dir):
-    """SIFT + brute-force matches -> multi-homography fitting (ref: 9
-    models from SIFT matches in 0.231 s)."""
+    """Real feature matches -> multi-homography fitting (ref: 9 models
+    from SIFT matches in 0.231 s). Without OpenCV the matches come from
+    the reference's bundled breadcube.txt — real detector output shipped
+    with the reference (the GT label column is ignored as input)."""
     from progressivex_tpu import findHomographies
 
-    paths = _require(img_dir, "breadcube1.png", "breadcube2.png")
-    if paths is None:
-        return
-    im1 = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
-    im2 = cv2.imread(paths[1], cv2.IMREAD_GRAYSCALE)
-    sift = cv2.SIFT_create()
-    k1, d1 = sift.detectAndCompute(im1, None)
-    k2, d2 = sift.detectAndCompute(im2, None)
-    matches = cv2.BFMatcher().knnMatch(d1, d2, k=2)
-    good = [m for m, n in matches if m.distance < 0.8 * n.distance]
-    corrs = np.array([
-        [*k1[m.queryIdx].pt, *k2[m.trainIdx].pt] for m in good
-    ])
+    if cv2 is not None:
+        paths = _require(img_dir, "breadcube1.png", "breadcube2.png")
+        if paths is None:
+            return
+        im1 = cv2.imread(paths[0], cv2.IMREAD_GRAYSCALE)
+        im2 = cv2.imread(paths[1], cv2.IMREAD_GRAYSCALE)
+        sift = cv2.SIFT_create()
+        k1, d1 = sift.detectAndCompute(im1, None)
+        k2, d2 = sift.detectAndCompute(im2, None)
+        matches = cv2.BFMatcher().knnMatch(d1, d2, k=2)
+        good = [m for m, n in matches if m.distance < 0.8 * n.distance]
+        corrs = np.array([
+            [*k1[m.queryIdx].pt, *k2[m.trainIdx].pt] for m in good
+        ])
+        src = f"{len(corrs)} SIFT matches"
+    else:
+        paths = _require(img_dir, "breadcube.txt")
+        if paths is None:
+            return
+        raw = np.loadtxt(paths[0])
+        # examples/img/breadcube.txt is plain [x1 y1 x2 y2]; the
+        # build/data variant is [x1 y1 1 x2 y2 1 label] with a header.
+        corrs = raw[:, [0, 1, 3, 4]] if raw.shape[1] >= 6 else raw[:, :4]
+        src = f"{len(corrs)} bundled real matches"
     t0 = time.perf_counter()
     Hs, labels = findHomographies(
         corrs, threshold=4.0, conf=0.5, spatial_coherence_weight=0.05,
@@ -128,7 +169,7 @@ def demo_homographies(cv2, img_dir):
         sampler_id=3, random_seed=0)
     k = Hs.shape[0] // 3
     inl = int(np.sum(labels < k))
-    print(f"[homographies] {len(corrs)} SIFT matches -> {k} planes, "
+    print(f"[homographies] {src} -> {k} planes, "
           f"{inl} inliers, {time.perf_counter() - t0:.2f}s")
     assert k >= 2, "the breadcube pair contains >= 2 planes/objects"
 
@@ -142,8 +183,9 @@ def main():
     try:
         import cv2
     except ImportError:
-        print("[demo] SKIP: OpenCV not installed", file=sys.stderr)
-        return
+        cv2 = None
+        print("[demo] OpenCV not installed; using the NumPy detectors "
+              "(progressivex_tpu.io.detect)", file=sys.stderr)
     if args.which in ("all", "lines"):
         demo_lines(cv2, args.img_dir)
     if args.which in ("all", "vps"):

@@ -192,6 +192,7 @@ def _run(
     final_polish=0,
     final_relabel=0,
     magsac_levels=0,
+    split_pass=0,
     restart_rule="energy",
     progress_callback=None,
 ):
@@ -225,6 +226,7 @@ def _run(
         final_polish=int(final_polish),
         final_relabel=int(final_relabel),
         magsac_levels=int(magsac_levels),
+        split_pass=int(split_pass),
         restart_rule=str(restart_rule),
         live_progress=progress_callback is not None,
     )
@@ -529,6 +531,7 @@ def findEssentialMatrices(
     random_seed=0,
     with_statistics=False,
     n_restarts=1,
+    split_pass=2,
     progress_callback=None,
 ):
     """Multi essential-matrix fitting (EXTENSION: the reference ships the
@@ -541,6 +544,13 @@ def findEssentialMatrices(
     (`progressivex_python.cpp:64-98`). The neighborhood graph uses the
     unnormalized pixel correspondences. Returns ([3K_models, 3] stacked
     row-major essential matrices in NORMALIZED coordinates, labeling).
+
+    `split_pass` (extension kwarg, config.split_pass) defaults to 2
+    rounds of final instance-split moves (core/pearl.split_instances):
+    the essential gauntlet's measured failure mode is a "bridge" E
+    genuinely spanning two motions, which wins round 1 on raw support
+    and then compound-suppresses the true second motion — only a move
+    that restructures an accepted instance recovers it. 0 disables.
     """
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 5:
@@ -565,7 +575,7 @@ def findEssentialMatrices(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, graph_data=corrs,
         with_statistics=with_statistics, n_restarts=n_restarts,
-        progress_callback=progress_callback,
+        split_pass=split_pass, progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

@@ -61,6 +61,14 @@ class EngineConfig:
     merge_pass: bool = True  # final pairwise instance-merge moves (the
     # expansion-with-label-costs move class parallel ICM lacks; dissolves
     # split structures — core/pearl.merge_instances)
+    split_pass: int = 0  # rounds of final instance-SPLIT moves (the dual
+    # of merge_pass; core/pearl.split_instances): dissolves "bridge"
+    # instances genuinely spanning two structures, which no proposal or
+    # per-point move can fix once the compound penalty suppresses the
+    # true per-structure models. Off by default (the H/F protocols never
+    # measured a bridge state); the essential front end enables it — its
+    # gauntlet's measured failure mode is exactly a bridge
+    # (api.findEssentialMatrices, tests/test_gauntlet.py seed 0).
     n_restarts: int = 1  # independent engine restarts per scene, selected
     # by final total energy (data + Potts + label costs). A randomized
     # multi-model fit occasionally rolls a bad local optimum (a split or

@@ -46,7 +46,8 @@ from progressivex_tpu.core.config import (
     RuntimeParams,
     truncated_sq_threshold,
 )
-from progressivex_tpu.core.pearl import merge_instances, pearl_run
+from progressivex_tpu.core.pearl import (merge_instances, pearl_run,
+                                          split_instances)
 from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops.knn import knn_graph
 from progressivex_tpu.ops.labeling import (
@@ -838,6 +839,17 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
         state, rounds_run, log = lax.while_loop(
             cond2, body, (state, jnp.int32(0), log0)
         )
+    if cfg.split_pass:
+        # Final split moves (before merge so a mis-split can still be
+        # re-merged): dissolve bridge instances spanning two structures
+        # (see pearl.split_instances).
+        s_descs, s_active, s_labels = split_instances(
+            family, cfg, params, data, point_mask, point_weights,
+            state.descs, state.active, state.labels, adj,
+            n_rounds=cfg.split_pass,
+        )
+        state = state._replace(descs=s_descs, active=s_active,
+                               labels=s_labels)
     if cfg.merge_pass:
         # Final merge moves: dissolve split structures that per-point ICM
         # updates cannot escape (see pearl.merge_instances).

@@ -500,3 +500,157 @@ def merge_instances(
         labels, outlier_label,
     )
     return descs, active, labels
+
+
+def split_instances(
+    family,
+    cfg: EngineConfig,
+    params: RuntimeParams,
+    data,  # [N, d]
+    point_mask,  # [N] bool
+    point_weights,  # [N]
+    descs,  # [K, D]
+    active,  # [K] bool
+    labels,  # [N] slot labels, K = outlier
+    adj,  # [N, N] or BandedAdj adjacency
+    n_rounds: int = 2,
+):
+    """Explicit instance-split moves — the dual of `merge_instances`.
+
+    A "bridge" instance genuinely spanning two structures is a stable
+    equilibrium of the whole pipeline, not just of ICM: a bridge model
+    with more raw support than either true structure wins the MSAC
+    proposal round (as it must under any MSAC ranking, including the
+    reference's), and afterwards the compound overlap penalty
+    (`scoring_function_with_compound_model.h:109-121`) suppresses the
+    true per-structure models — the measured essential-gauntlet seed-0
+    failure (K=1, ME 0.26: one E covering motion 1 plus half of motion
+    2 while the rest of motion 2 stays outlier-labeled). No later
+    proposal can fix that state; only a move that RESTRUCTURES an
+    accepted instance can.
+
+    The move, per round: for every active instance, partition its
+    support by the sign of the projection onto the principal axis of
+    its centered data rows (bridged structures are spatially disjoint,
+    so the top-variance direction separates them), refit one model per
+    half (preference-IRLS, as in merge), give the second half the first
+    inactive slot, re-equilibrate with a warm ICM relabel — the split-
+    off model claims the points of "its" structure that the bridge
+    state left as outliers — and accept the single best split iff the
+    full labeling energy (data + Potts + label costs) drops. The
+    +label_cost term in the acceptance is the exact dual of merge's
+    −label_cost: a split must pay for its new instance, so clean
+    single-structure instances never split (their halves refit to the
+    same model and the relabel undoes the partition, leaving pure
+    label-cost loss).
+    """
+    k_slots = cfg.max_models
+    outlier_label = jnp.int32(k_slots)
+    trunc_sq = truncated_sq_threshold(params.threshold)
+    w = params.spatial_weight
+    label_cost = params.min_inliers.astype(data.dtype)
+    min_half = max(family.nonminimal_min, 3)
+
+    def one_round(carry):
+        descs, active, labels, it, changed = carry
+        r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs)
+        dcost = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
+
+        def total_energy(dcost_, labels_, active_):
+            e = labeling_ops.labeling_energy(dcost_, labels_, adj, w)
+            return e + label_cost * jnp.sum(active_)
+
+        e_cur = total_energy(dcost, labels, active)
+        # The split-off half lands in the first inactive slot; with every
+        # slot occupied there is no legal split (argmin of bool = first
+        # False when one exists).
+        free = jnp.argmin(active)
+        has_free = ~active[free]
+
+        def fit_half(part):
+            # Cold stateless fit on the half, then preference-IRLS with
+            # truncated-sum acceptance (the merge pass's measured recipe:
+            # raw-sum acceptance lets a few claimed outliers veto real
+            # steps). Cold, not warm from descs[i]: the bridge descriptor
+            # is exactly what the half must escape.
+            wts = part.astype(data.dtype) * point_weights
+            nd, ok = family.nonminimal_solver(data, wts)
+            cap = 2.25 * trunc_sq
+
+            def tsum(r2v):
+                return jnp.sum(jnp.where(
+                    part, jnp.sqrt(jnp.minimum(r2v, cap)), 0.0))
+
+            def body(_, c):
+                nd0, r2n0 = c
+                pref = jnp.maximum(0.0, 1.0 - r2n0 / trunc_sq)
+                nd2, ok2 = family.refit(data, pref * wts, nd0)
+                r2n2 = family.squared_residual(data, nd2)
+                better = ok2 & (tsum(r2n2) < tsum(r2n0))
+                return (jnp.where(better, nd2, nd0),
+                        jnp.where(better, r2n2, r2n0))
+
+            nd, _ = lax.fori_loop(
+                0, 3, body, (nd, family.squared_residual(data, nd)))
+            return nd, ok
+
+        def try_split(i):
+            sup = (labels == i) & point_mask
+            n_sup = jnp.sum(sup)
+            wsup = sup.astype(data.dtype)
+            mu = (jnp.sum(data * wsup[:, None], axis=0)
+                  / jnp.maximum(n_sup, 1).astype(data.dtype))
+            xc = (data - mu) * wsup[:, None]
+            cov = xc.T @ xc  # [d, d], d <= 5 — tiny host-side-size matrix
+            v = jnp.ones((data.shape[1],), data.dtype)
+            for _ in range(8):  # power iteration; d is tiny, 8 is plenty
+                v = cov @ v
+                v = v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+            proj = xc @ v
+            part2 = sup & (proj > 0)
+            part1 = sup & ~part2
+            nd1, ok1 = fit_half(part1)
+            nd2, ok2 = fit_half(part2)
+            m_descs = descs.at[i].set(nd1).at[free].set(nd2)
+            m_active = active.at[free].set(True)
+            m_labels = jnp.where(part2, free, labels)
+            r2_m = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+                data, m_descs)
+            dcost_m = labeling_ops.data_costs(
+                r2_m, m_active, point_mask, w, trunc_sq)
+            m_labels, _ = labeling_ops.icm_sweeps(
+                dcost_m, m_labels, adj, w, 2, unroll=cfg.unroll_icm)
+            e = total_energy(dcost_m, m_labels, m_active)
+            feasible = (active[i] & has_free & ok1 & ok2
+                        & (jnp.sum(part1) >= min_half)
+                        & (jnp.sum(part2) >= min_half))
+            return m_descs, m_active, m_labels, jnp.where(
+                feasible, e, jnp.inf)
+
+        m_descs_all, m_active_all, m_labels_all, e_all = jax.vmap(try_split)(
+            jnp.arange(k_slots))
+        best = jnp.argmin(e_all)
+        do = jnp.isfinite(e_all[best]) & (e_all[best] < e_cur)
+        descs = jnp.where(do, m_descs_all[best], descs)
+        active = jnp.where(do, m_active_all[best], active)
+        labels = jnp.where(do, m_labels_all[best], labels)
+        return descs, active, labels, it + 1, do
+
+    def cond(carry):
+        return carry[4] & (carry[3] < n_rounds)
+
+    init = (descs, active, labels, jnp.int32(0), jnp.ones((), bool))
+    if cfg.unroll_pearl:
+        carry = init
+        for _ in range(n_rounds):
+            new = one_round(carry)
+            keep = carry[4]
+            carry = tuple(jnp.where(keep, n, c) for n, c in zip(new, carry))
+        descs, active, labels, _, _ = carry
+    else:
+        descs, active, labels, _, _ = lax.while_loop(cond, one_round, init)
+    labels = jnp.where(
+        labeling_ops.labels_active_mask(labels, active),
+        labels, outlier_label,
+    )
+    return descs, active, labels

@@ -25,6 +25,7 @@ from progressivex_tpu.ops.linalg import (
     cubic_roots_real,
     hartley_normalize,
     nullspace_exact,
+    nullspace_exact_lanes,
     smallest_eigvec_psd,
 )
 
@@ -125,6 +126,120 @@ def _minimal(samples):
     return descs, valid
 
 
+def _det3_lanes(M):
+    """Closed-form determinant of [3, 3, B] stacked matrices -> [B]."""
+    return (
+        M[0, 0] * (M[1, 1] * M[2, 2] - M[1, 2] * M[2, 1])
+        - M[0, 1] * (M[1, 0] * M[2, 2] - M[1, 2] * M[2, 0])
+        + M[0, 2] * (M[1, 0] * M[2, 1] - M[1, 1] * M[2, 0])
+    )
+
+
+def _minimal_batched(samples):
+    """Batched seven-point algorithm in lanes-major layout.
+    samples: [B, 7, 4] -> ([B, 3, 9], [B, 3] bool).
+
+    Hardware note (measured on the v5e, 640-row F bench batch, jax
+    profiler): vmapping `_minimal` leaves the unrolled Gauss-Jordan and
+    the downstream 3x3 algebra on [B, 7, 7]/[B, 3, 3] tensors whose tiny
+    trailing dims each pad to a full (8, 128) TPU tile — the solver chain
+    was ~30% of the whole fit program's device time at <8% lane
+    utilization (0.35 s of dynamic-update-slice alone). Here the 7x9
+    systems are stacked [7, 9, B] with the BATCH on lanes
+    (ops/linalg.nullspace_exact_lanes, as the homography family already
+    does), the determinant cubic's coefficients come from four
+    closed-form [3, 3, B] determinants, and the cubic solve is a vmapped
+    elementwise Cardano/trig formula — every op runs full-width.
+    """
+    dtype = samples.dtype
+    p1 = samples[:, :, :2]  # [B, 7, 2]
+    p2 = samples[:, :, 2:4]
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype))
+
+    def norm_stats(p):
+        c = jnp.mean(p, axis=1)  # [B, 2]
+        d = jnp.mean(jnp.linalg.norm(p - c[:, None, :], axis=-1), axis=1)
+        s = sqrt2 / jnp.maximum(d, _EPS)  # [B]
+        return c, s, (p - c[:, None, :]) * s[:, None, None]
+
+    c1, s1, n1 = norm_stats(p1)
+    c2, s2, n2 = norm_stats(p2)
+
+    one = jnp.ones_like(n1[:, 0, 0])
+    rows = []
+    for j in range(7):
+        x1, y1 = n1[:, j, 0], n1[:, j, 1]
+        x2, y2 = n2[:, j, 0], n2[:, j, 1]
+        rows.append(jnp.stack(
+            [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, one]
+        ))  # [9, B]
+    A = jnp.stack(rows)  # [7, 9, B]
+    basis, ns_valid = nullspace_exact_lanes(A, 2)  # [2, 9, B], [B]
+    F1 = basis[0].reshape(3, 3, -1)
+    F2 = basis[1].reshape(3, 3, -1)
+
+    # det(l*F1 + (1-l)*F2) is cubic in l; coefficients from 4 evaluations
+    # (same interpolation as `_minimal`).
+    d0 = _det3_lanes(F2)
+    d1 = _det3_lanes(F1)
+    dm1 = _det3_lanes(2.0 * F2 - F1)
+    d2 = _det3_lanes(2.0 * F1 - F2)
+    c2_ = 0.5 * (d1 + dm1) - d0
+    a1 = d1 - d0 - c2_
+    a2 = d2 - d0 - 4.0 * c2_
+    c3_ = (a2 - 2.0 * a1) / 6.0
+    c1_ = a1 - c3_
+    roots, cubic_valid = jax.vmap(cubic_roots_real)(c3_, c2_, c1_, d0)
+    # roots [B, 3] -> lanes-major [3(root), B]
+    lam = roots.T
+
+    # Fn(l) for all three roots at once: [3(root), 3, 3, B].
+    Fn = lam[:, None, None, :] * F1[None] + (1.0 - lam[:, None, None, :]) * F2[None]
+
+    # Denormalize F = T2^T Fn T1 in closed form (Ti = [[s,0,-s cx],
+    # [0,s,-s cy],[0,0,1]]): Fn T1 maps cols, T2^T maps rows.
+    g0 = s1[None, None, :] * Fn[:, :, 0, :]  # [3r, 3, B] new col 0
+    g1 = s1[None, None, :] * Fn[:, :, 1, :]
+    g2 = (Fn[:, :, 2, :]
+          - (s1 * c1[:, 0])[None, None, :] * Fn[:, :, 0, :]
+          - (s1 * c1[:, 1])[None, None, :] * Fn[:, :, 1, :])
+    G = jnp.stack([g0, g1, g2], axis=2)  # [3r, 3(row), 3(col), B]
+    r0 = s2[None, None, :] * G[:, 0, :, :]
+    r1 = s2[None, None, :] * G[:, 1, :, :]
+    r2 = (G[:, 2, :, :]
+          - (s2 * c2[:, 0])[None, None, :] * G[:, 0, :, :]
+          - (s2 * c2[:, 1])[None, None, :] * G[:, 1, :, :])
+    F = jnp.stack([r0, r1, r2], axis=1)  # [3r, 3, 3, B]
+    nrm = jnp.sqrt(jnp.sum(F * F, axis=(1, 2)))  # [3r, B]
+    F = F / jnp.maximum(nrm, _EPS)[:, None, None, :]
+
+    # Oriented epipolar (cheirality) validity — the lanes-major form of
+    # `_minimal`'s check (same math, same reference citations).
+    col_cross = jnp.stack([
+        jnp.cross(F[:, :, 0, :], F[:, :, 1, :], axis=1),
+        jnp.cross(F[:, :, 0, :], F[:, :, 2, :], axis=1),
+        jnp.cross(F[:, :, 1, :], F[:, :, 2, :], axis=1),
+    ])  # [3(pair), 3r, 3, B]
+    mag = jnp.sum(col_cross * col_cross, axis=2)  # [3p, 3r, B]
+    pick = jax.nn.one_hot(jnp.argmax(mag, axis=0), 3, dtype=dtype)  # [3r, B, 3p]
+    e2 = jnp.einsum("prcb,rbp->rcb", col_cross, pick)  # [3r, 3, B]
+    x1h = jnp.concatenate([p1, jnp.ones((p1.shape[0], 7, 1), dtype)], -1)
+    x2h = jnp.concatenate([p2, jnp.ones((p2.shape[0], 7, 1), dtype)], -1)
+    # lines_i = F x1h_i: [3r, 7(pt), 3, B]
+    lines = jnp.einsum("rcdb,bnd->rncb", F, x1h)
+    e2b = jnp.broadcast_to(e2[:, None, :, :], lines.shape)
+    x2b = jnp.transpose(
+        jnp.broadcast_to(x2h[None], (3,) + x2h.shape), (0, 2, 3, 1)
+    )  # [3r, 7, 3, B]
+    s = jnp.sum(jnp.cross(e2b, x2b, axis=2) * lines, axis=2)  # [3r, 7, B]
+    oriented = jnp.all(s > 0.0, axis=1) | jnp.all(s < 0.0, axis=1)  # [3r, B]
+
+    finite = jnp.isfinite(F).all(axis=(1, 2))  # [3r, B]
+    valid = (cubic_valid.T & ns_valid[None, :] & finite & oriented)  # [3r, B]
+    descs = jnp.transpose(F.reshape(3, 9, -1), (2, 0, 1))  # [B, 3r, 9]
+    return descs, valid.T
+
+
 def _nonminimal(data, weights):
     """Normalized weighted eight-point with rank-2 projection.
 
@@ -208,5 +323,6 @@ FUNDAMENTAL = register_family(
         nonminimal_solver=_nonminimal,
         squared_residual=_squared_residual,
         refine_solver=_refine,
+        minimal_solver_batched=_minimal_batched,
     )
 )

@@ -220,6 +220,48 @@ def test_fundamental_seven_point():
     assert float(jnp.min(med)) < 0.5
 
 
+def test_fundamental_seven_point_batched_parity():
+    """The lanes-major batched seven-point (models/fundamental.
+    _minimal_batched — the engine's hot path since the v5e profile showed
+    the vmapped scalar solver at ~30% of F device time) must agree with
+    vmap(_minimal): identical validity masks and sign-matched descriptors
+    on well-posed samples. Borderline samples (near-double cubic roots)
+    may legitimately flip validity or drift under f32 reordering, so the
+    gates are calibrated: >= 95% mask agreement, best-pair desc err
+    <= 0.05 on both-valid samples (measured 97.9% agreement, 0.023 max
+    drift on a near-double root; every solution is also independently
+    checked to interpolate its own sample)."""
+    from progressivex_tpu.models.fundamental import _minimal, _minimal_batched
+
+    corrs, _ = make_f_scene(200, seed=21)
+    r = rng(22)
+    idx = r.integers(0, len(corrs), size=(48, 7))
+    samples = jnp.array(np.asarray(corrs)[idx], jnp.float32)
+    d_b, v_b = jax.jit(_minimal_batched)(samples)
+    d_s, v_s = jax.jit(jax.vmap(_minimal))(samples)
+    d_b, v_b, d_s, v_s = map(np.asarray, (d_b, v_b, d_s, v_s))
+    assert (v_b == v_s).mean() >= 0.95
+    both = v_b & v_s
+    assert both.sum() >= 10  # the scene must actually exercise the solver
+    # Near-double cubic roots may come back in a different ORDER from the
+    # two implementations, so match each batched root to its best scalar
+    # counterpart within the sample instead of index-by-index.
+    errs = [
+        min(
+            min(np.abs(d_b[i, j] - d_s[i, k]).max(),
+                np.abs(d_b[i, j] + d_s[i, k]).max())
+            for k in range(3) if v_s[i, k]
+        )
+        for i, j in zip(*np.nonzero(both))
+    ]
+    assert max(errs) <= 0.05, f"max batched-vs-scalar desc err {max(errs)}"
+    # And independently of the scalar solver: every valid batched solution
+    # must actually interpolate its 7 sample points (epipolar residual).
+    for i, j in zip(*np.nonzero(v_b)):
+        r2 = FUNDAMENTAL.squared_residual(samples[i], jnp.array(d_b[i, j]))
+        assert float(jnp.sqrt(r2).max()) < 0.05
+
+
 def test_fundamental_eight_point_weighted():
     corrs, F = make_f_scene(120, seed=12, noise=0.2)
     junk = rng(13).uniform(0, 600, size=(40, 4))

@@ -53,7 +53,10 @@ def main():
     args = p.parse_args()
 
     if args.no_cache:
-        os.environ["JAX_COMPILATION_CACHE_DIR"] = ""
+        # PROGX_COMPILE_CACHE, not JAX_COMPILATION_CACHE_DIR="": the
+        # package treats an EMPTY jax env var as unset and installs its
+        # own cache dir (progressivex_tpu._enable_compile_cache).
+        os.environ["PROGX_COMPILE_CACHE"] = "off"
 
     import jax
     import numpy as np
