@@ -31,6 +31,7 @@ from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops import labeling as labeling_ops
 
 _BIG_COST = 1e18
+_SPLIT_SAMPLES = 8  # minimal samples per split half (pearl.split_instances)
 
 
 class PearlResult(NamedTuple):
@@ -532,12 +533,15 @@ def split_instances(
     The move, per round: for every active instance, partition its
     support by the sign of the projection onto the principal axis of
     its centered data rows (bridged structures are spatially disjoint,
-    so the top-variance direction separates them), refit one model per
-    half (preference-IRLS, as in merge), give the second half the first
-    inactive slot, re-equilibrate with a warm ICM relabel — the split-
-    off model claims the points of "its" structure that the bridge
-    state left as outliers — and accept the single best split iff the
-    full labeling energy (data + Potts + label costs) drops. The
+    so the top-variance direction separates them), recover one model
+    per half by a LOCAL minimal-solver search inside the half (see
+    fit_half — a direct LSQ is unrecoverably biased by the ~15%
+    cross-contamination a PCA half carries) plus preference-IRLS, give
+    the second half the first inactive slot, re-equilibrate with a warm
+    ICM relabel — the split-off model claims the points of "its"
+    structure that the bridge state left as outliers — and accept the
+    single best split iff the full labeling energy (data + Potts +
+    label costs) drops. The
     +label_cost term in the acceptance is the exact dual of merge's
     −label_cost: a split must pay for its new instance, so clean
     single-structure instances never split (their halves refit to the
@@ -568,13 +572,43 @@ def split_instances(
         has_free = ~active[free]
 
         def fit_half(part):
-            # Cold stateless fit on the half, then preference-IRLS with
-            # truncated-sum acceptance (the merge pass's measured recipe:
-            # raw-sum acceptance lets a few claimed outliers veto real
-            # steps). Cold, not warm from descs[i]: the bridge descriptor
-            # is exactly what the half must escape.
+            # LOCAL MINIMAL-SOLVER SEARCH within the half, not a direct
+            # LSQ: a bridge's PCA half still carries ~15% structured
+            # contamination from the other structure, and (measured on
+            # the essential bridge scene) that biases the weighted
+            # non-minimal solve so badly that neither preference-IRLS
+            # nor scale-annealed IRLS can bootstrap out of it — while a
+            # handful of minimal samples drawn inside the half lands on
+            # an all-clean sample with probability ~1-(1-0.84^m)^S and
+            # recovers the half's true model outright (best-of-8 scored
+            # 82/90 support where the LSQ route scored 19). Samples are
+            # deterministic co-prime strides over the half's points (no
+            # RNG plumbing; RANSAC-style coverage is all that matters).
+            npart = jnp.sum(part)
+            m = family.sample_size
+            order = jnp.argsort(jnp.where(part, 0, 1), stable=True)
+            s_ix = (jnp.arange(_SPLIT_SAMPLES)[:, None] * 7
+                    + jnp.arange(m)[None, :] * 13) % jnp.maximum(npart, 1)
+            samp = data[order[s_ix]]  # [S, m, d]
+            if family.minimal_solver_batched is not None:
+                dh, vh = family.minimal_solver_batched(samp)
+            else:
+                dh, vh = jax.vmap(family.minimal_solver)(samp)
+            flat = dh.reshape(-1, family.desc_dim)
+            vf = vh.reshape(-1)
+            r2h = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+                data, flat)
+            support = jnp.sum(
+                jnp.maximum(0.0, 1.0 - r2h / trunc_sq) * part[None, :],
+                axis=1)
+            support = jnp.where(vf, support, -1.0)
+            best_h = jnp.argmax(support)
+            nd = flat[best_h]
+            ok = support[best_h] > 0.0
+            # Preference-IRLS polish with truncated-sum acceptance (the
+            # merge pass's measured recipe: raw-sum acceptance lets a few
+            # claimed outliers veto real steps).
             wts = part.astype(data.dtype) * point_weights
-            nd, ok = family.nonminimal_solver(data, wts)
             cap = 2.25 * trunc_sq
 
             def tsum(r2v):
@@ -618,8 +652,13 @@ def split_instances(
                 data, m_descs)
             dcost_m = labeling_ops.data_costs(
                 r2_m, m_active, point_mask, w, trunc_sq)
+            # 4 sweeps, not the merge pass's 2: a split's re-equilibration
+            # must PROPAGATE — the split-off model reclaims its structure's
+            # points from the outlier class through the Potts neighborhood,
+            # and on the measured bridge scene 2 sweeps left the candidate
+            # at +6.8 energy (rejected) where 4 reached -5.9 (accepted).
             m_labels, _ = labeling_ops.icm_sweeps(
-                dcost_m, m_labels, adj, w, 2, unroll=cfg.unroll_icm)
+                dcost_m, m_labels, adj, w, 4, unroll=cfg.unroll_icm)
             e = total_energy(dcost_m, m_labels, m_active)
             feasible = (active[i] & has_free & ok1 & ok2
                         & (jnp.sum(part1) >= min_half)

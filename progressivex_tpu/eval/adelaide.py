@@ -487,17 +487,21 @@ def _prepare_lane_batches(problem, root, seed, lane_target=None):
         # allow proportionally more rows, capped at 768.
         flat_hyp = cfg.n_hypotheses * family.max_solutions
         max_rows = min(768, (384 * 4095) // max(flat_hyp, 1))
-        # The restart-flattened F program with sigma-marginalized ranking +
-        # final relabel trips the TPU compiler's memory-space-assignment
-        # check-fail ("conflicting pending required assignment") at 128
-        # lanes x 5 restarts = 640 rows (reproduced on the v5e compile
-        # service, 2026-08-19); every F-protocol quality measurement was
-        # made at 32 lanes x 5 = 160 rows, which compiles and runs. Cap
-        # restart-flattened batches at the measured-safe row count; the
-        # compile-failure fallback in _compile_sequential() halves lanes
-        # further if a future program still trips the bug.
+        # Restart-flattened row budget: the old memory-space-assignment
+        # check-fail that CAPPED these batches at 160 rows is GONE since
+        # unroll_icm/unroll_pearl default ON (the 640-row F program
+        # compiles and runs, re-verified on the v5e 2026-08-20) — the cap
+        # is now a measured THROUGHPUT choice, not a crash workaround.
+        # Measured same-quality scenes/s at n_pad=256, 5 restarts:
+        # 160 rows -> 35.8, 640 rows -> 35.3 (ME 0.0188 both): the F
+        # program is work-bound per scene, so bigger batches buy nothing
+        # while the 640-row cold compile costs ~4x the 160-row one. Keep
+        # the smallest saturating batch; PROGX_F_ROWS overrides for
+        # experiments. The halving fallback in _compile_sequential()
+        # remains as generic safety.
         if n_restarts > 1:
-            max_rows = min(max_rows, 160)
+            max_rows = min(max_rows, int(os.environ.get("PROGX_F_ROWS",
+                                                        "160")))
         while target * n_restarts > max_rows and target > 32:
             target //= 2
         # Fill the batch to the target (cyclic replication below). A bucket

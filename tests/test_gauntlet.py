@@ -180,17 +180,20 @@ def test_gauntlet_essential_two_motions():
     front end — findEssentialMatrices is this package's extension, so the
     gauntlet is its primary quality evidence).
 
-    Calibrated against the direct-constraint five-point solver (3 random
-    seeds per scene): seed 1 finds both motions at ME 0.0175-0.065; seed
-    2 (formerly a solver search-miss, K=1 ME 0.29) now usually finds
-    both (0.0275/0.1675, one K=1 at 0.2675). Seed 0 is a measured
-    BRIDGE scene: a genuine 134-inlier essential matrix spans motion 1
-    plus ~half of motion 2, wins round 1 on raw support (as any
-    MSAC-ranked search, including the reference's, must), after which
-    the compound penalty (shared^2, scoring_exponent=2) suppresses the
-    true second motion — K=1, ME 0.255-0.2675 across all random seeds.
-    The earlier K=2 result on this scene was an artifact of the
-    less-accurate interpolated solver missing the bridge model."""
+    Seed 0 is a measured BRIDGE scene: a genuine 134-inlier essential
+    matrix spans motion 1 plus ~half of motion 2, wins round 1 on raw
+    support (as any MSAC-ranked search, including the reference's,
+    must), after which the compound penalty (shared^2,
+    scoring_exponent=2) suppresses the true second motion — K=1,
+    ME 0.255-0.2675 with no recovery move. The final SPLIT pass
+    (core/pearl.split_instances, split_pass=2 default for this front
+    end) dissolves exactly that state: the instance's PCA halves are
+    re-searched with local minimal samples and the split is accepted by
+    the full labeling energy. Measured with the split pass (one run per
+    seed): seed 0 K=2 ME 0.0275, seed 1 K=2 ME 0.0200, seed 2 K=2
+    ME 0.0450 (seed 2's former partial-coverage state, K=1/0.2675 on
+    some rolls, is split-repaired too). Gates at ME <= 0.12 leave
+    roll-to-roll headroom."""
     from progressivex_tpu import findEssentialMatrices
 
     f = 800.0
@@ -200,8 +203,8 @@ def test_gauntlet_essential_two_motions():
                 maximum_tanimoto_similarity=0.4, max_iters=1000,
                 minimum_point_number=25, maximum_model_number=6,
                 sampler_id=0, scoring_exponent=2, n_restarts=3)
-    for seed, (k_min, me_gate) in {0: (1, 0.30), 1: (2, 0.12),
-                                   2: (1, 0.30)}.items():
+    for seed, (k_min, me_gate) in {0: (2, 0.12), 1: (2, 0.12),
+                                   2: (2, 0.12)}.items():
         corrs, gt = make_multi_motion_scene(
             n_motions=2, pts_per=100, outlier_frac=0.5, seed=seed, f=f)
         E, lab = findEssentialMatrices(corrs, K, K, **E_KW,
