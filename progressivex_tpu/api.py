@@ -458,7 +458,7 @@ def findTwoViewMotions(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
-    n_restarts=5,
+    n_restarts=4,
     magsac_levels=4,
     final_relabel=2,
     restart_rule="energy+5k",
@@ -467,9 +467,12 @@ def findTwoViewMotions(
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
     Returns ([3K,3] stacked row-major 3x3 F matrices, labeling).
 
-    `n_restarts` (extension kwarg) defaults to 5: the 7-point pipeline is
+    `n_restarts` (extension kwarg) defaults to 4: the 7-point pipeline is
     the noisiest family and energy-selected restarts are the dominant
     quality/time tradeoff for it (see api._MAX_HYP_BY_FAMILY).
+    Re-measured round 3 (bundled AdelaideRMF-F, 32 lanes x 3 seeds):
+    4 restarts 45.5 scenes/s at mean ME 0.0186 vs 5 restarts 35.8 at
+    0.0188 — the 5th buys nothing; 3 restarts were not quality-validated.
     `magsac_levels` (extension kwarg) defaults to 4: sigma-marginalized
     hypothesis ranking (ops/scoring.sigma_marginalized_preference),
     measured to eliminate the catastrophic-labeling tail on the
@@ -596,12 +599,18 @@ def find6DPoses(
     do_logging=False,
     random_seed=0,
     with_statistics=False,
-    n_restarts=1,
+    n_restarts=3,
     progress_callback=None,
 ):
     """Multi 6D-pose fitting from 2D-3D correspondences.
     x1y1: [N,2] pixel coords, x2y2z2: [N,3] world points, K: [3,3].
     Returns ([3K_models, 4] stacked row-major [R|t] poses, labeling).
+
+    `n_restarts` (extension kwarg) defaults to 3: measured on T-LESS
+    across 3 seeds, energy-selected restarts improve the pose-0 rotation
+    tail (mean 9.12 -> 8.13 deg; restarts 4-5 never won and change
+    nothing). The restart axis vmaps on device, so the cost is far below
+    3x wall time and the total stays ~100x under the reference's 57.6 s.
 
     Preprocessing mirrors `progressivex_python.cpp:64-105`: image points are
     normalized by K^-1 and the threshold divided by the mean focal length;

@@ -64,10 +64,13 @@ F_PROTOCOL = dict(
     sampler_id=2, scoring_exponent=1.0,
     # Extension kwarg (config.n_restarts): a randomized engine run on the
     # F scenes rolls a bad local optimum (split or collapsed structure) in
-    # ~1/4 of seeds; energy-selected restarts cut that tail. 5 restarts on
-    # the 512-sample budget (api._MAX_HYP_BY_FAMILY) is the measured best
-    # quality/time point and matches the findTwoViewMotions default.
-    n_restarts=5,
+    # ~1/4 of seeds; energy-selected restarts cut that tail. Re-measured
+    # round 3 on the 512-sample budget (api._MAX_HYP_BY_FAMILY), 32 lanes
+    # x 3 fresh-seed runs each: 4 restarts = 45.5 scenes/s at mean ME
+    # 0.0186 vs 5 restarts = 35.8 at 0.0188 — the 5th restart buys
+    # nothing on quality and costs 27% throughput. Matches the
+    # findTwoViewMotions default.
+    n_restarts=4,
     # Extension (config.magsac_levels): sigma-marginalized hypothesis
     # ranking. Measured on the bundled F scenes (32 lanes x 5 restarts x
     # 3 seeds): eliminates the catastrophic-labeling tail (max per-run ME
