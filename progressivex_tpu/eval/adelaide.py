@@ -62,6 +62,23 @@ F_PROTOCOL = dict(
     neighborhood_ball_radius=50.0, maximum_tanimoto_similarity=0.4,
     max_iters=10000, minimum_point_number=7, maximum_model_number=4,
     sampler_id=2, scoring_exponent=1.0,
+    # Extension (config.max_rounds): the reference hard-caps at 10
+    # proposal rounds (progressive_x.h:272) and never terminates early on
+    # the F scenes, but with maximum_model_number=4 the late rounds are
+    # pure rejection+PEARL re-polish and the 4-restart energy selection
+    # already covers the tail they would fix. Measured on the v5e
+    # (32 lanes x 4 restarts x 3 fresh-seed runs, bundled F scenes):
+    # 10 rounds = 45.6 scenes/s at mean ME 0.0186, 8 = 55.5 at 0.0187,
+    # 7 = 62.3 at 0.0189, 6 = 70.8 at 0.0190, 5 = 82.5 at 0.0221 (the
+    # quality cliff: cubetoy 0.028 -> 0.037). 6 is the knee — 1.55x the
+    # 10-round throughput at +0.0004 mean ME.
+    max_rounds=6,
+    # Extension (config.pearl_iters): 2 PEARL alternations per round
+    # instead of 3. Measured at max_rounds=6 (same sweep): 77.7 scenes/s
+    # at mean ME 0.0188 vs 70.8 at 0.0190 — faster AND no quality loss
+    # (the labeling converges in 2 alternations on these scenes;
+    # un-converged lanes continue in the next round's PEARL call).
+    pearl_iters=2,
     # Extension kwarg (config.n_restarts): a randomized engine run on the
     # F scenes rolls a bad local optimum (split or collapsed structure) in
     # ~1/4 of seeds; energy-selected restarts cut that tail. Re-measured
@@ -462,6 +479,8 @@ def _prepare_lane_batches(problem, root, seed, lane_target=None):
         sampler_id=int(kw["sampler_id"]),
         magsac_levels=int(kw.get("magsac_levels", 0)),
         final_relabel=int(kw.get("final_relabel", 0)),
+        max_rounds=int(kw.get("max_rounds", 10)),
+        pearl_iters=int(kw.get("pearl_iters", 3)),
     )
 
     buckets: dict[int, list[int]] = {}

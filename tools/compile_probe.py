@@ -81,6 +81,8 @@ def main():
         sampler_id=int(kw["sampler_id"]),
         magsac_levels=int(kw.get("magsac_levels", 0)),
         final_relabel=int(kw.get("final_relabel", 0)),
+        max_rounds=int(kw.get("max_rounds", 10)),
+        pearl_iters=int(kw.get("pearl_iters", 3)),
     )
     if args.set:
         ov = dict(parse_override(s) for s in args.set)
