@@ -535,6 +535,7 @@ def findEssentialMatrices(
     with_statistics=False,
     n_restarts=1,
     split_pass=2,
+    magsac_levels=4,
     progress_callback=None,
 ):
     """Multi essential-matrix fitting (EXTENSION: the reference ships the
@@ -554,6 +555,16 @@ def findEssentialMatrices(
     genuinely spanning two motions, which wins round 1 on raw support
     and then compound-suppresses the true second motion — only a move
     that restructures an accepted instance recovers it. 0 disables.
+
+    `magsac_levels` (extension kwarg, config.magsac_levels) defaults to 4:
+    sigma-marginalized hypothesis ranking. Load-bearing for this family
+    since the five-point solver's orthonormal-basis fix: the fixed solver
+    recovers near-double roots it used to lose, INCLUDING loose
+    mixed-motion bridge roots, and hard-threshold MSAC ranking then lets
+    a bridge beat the true motions on raw support. Measured on the
+    3-motion gauntlet scene (3 restarts, seeds 0-2): magsac 0 gives
+    K=2-4 at ME 0.23-0.51, magsac 4 gives K=3 at ME 0.036-0.046 on every
+    seed. 0 restores hard-threshold ranking.
     """
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 5:
@@ -578,7 +589,8 @@ def findEssentialMatrices(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, graph_data=corrs,
         with_statistics=with_statistics, n_restarts=n_restarts,
-        split_pass=split_pass, progress_callback=progress_callback,
+        split_pass=split_pass, magsac_levels=magsac_levels,
+        progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
     return (out, labels, stats) if with_statistics else (out, labels)

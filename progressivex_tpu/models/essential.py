@@ -17,8 +17,17 @@ polynomials are hopeless in f32 outright. The design below stays accurate
 in f32 and is batched end to end:
 
   1. The 4-D null space of the 5x9 epipolar system by unrolled
-     Gauss-Jordan (ops/linalg.nullspace_exact): E(q) = sum_k q_k Ek with
-     q in R^4 homogeneous.
+     Gauss-Jordan (ops/linalg.nullspace_exact), then ORTHONORMALIZED
+     (ops/linalg.orthonormalize_rows): E(q) = sum_k q_k Ek with q in R^4
+     homogeneous and |E(q)| = 1 for unit q. Orthonormality is
+     load-bearing, not cosmetic: the constraints in step 2 are
+     homogeneous cubics, so on the raw (unit-row, non-orthogonal) RREF
+     basis a q near a near-parallel basis direction had |E(q)| << 1 and
+     its residual shrank by |E|^3 — fake roots that outranked true ones.
+     That scale distortion was the WHOLE historical miss rate: recovery
+     0.750 raw vs 0.995 orthonormal (200 noise-free samples, tol 1e-3),
+     while 128 vs 512 starts on the raw basis measured IDENTICAL —
+     i.e. none of it was missed basins.
   2. The ten Demazure constraints (det E = 0 and
      2 E E^T E - tr(E E^T) E = 0) are evaluated DIRECTLY at E(q) — a few
      3x3 products — and their Jacobian in q by forward-mode AD (E is
@@ -30,13 +39,14 @@ in f32 and is batched end to end:
      DOMINANT loss: recovery measured 0.56 interpolated vs 0.70 direct
      at the same start set, with the direct route also ~25% cheaper.
   3. Solutions are the zeros of the cubic system on the unit sphere S^3,
-     found by MULTI-START tangent-space Gauss-Newton: 128 fixed
+     found by MULTI-START tangent-space Gauss-Newton: 64 fixed
      unit-sphere starts, 16 damped steps each, with the radial direction
      (a structural Jacobian null direction at any root, by Euler's
      relation for homogeneous polynomials) projected out of every step.
      Starts are embarrassingly parallel on the VPU — the TPU-first axis
-     to widen — while extra GN steps serialize; 128x16 measured at
-     recovery 0.755 vs 0.745 for 64x24 at lower device latency.
+     to widen — while extra GN steps serialize; on the orthonormal basis
+     64x16 measured 1.00/200 recovery (32 -> 0.985, 96/128 -> 0.995,
+     i.e. seed noise past 64).
      Converged, residual-validated points are greedily deduplicated into
      at most 10 solutions (the algebraic count). The dedupe dot
      threshold is 0.9999: genuine distinct roots of one sample pair up
@@ -45,11 +55,11 @@ in f32 and is batched end to end:
      (recovery 0.700 -> 0.725 from this alone).
 
 Per-sample recovery of the ground-truth solution from noise-free minimal
-samples is ~75% in f32 at max|E - E_gt| < 1e-3 (the remainder: basins
-the start set misses and near-double roots displaced beyond the
-tolerance); a RANSAC engine drawing hundreds of samples per round
-absorbs this as a ~1.3x effective sample-count cost, unlike the
-eigendecomposition route whose failures were systematic.
+samples is ~99% in f32 at max|E - E_gt| < 1e-3 (measured 0.995-1.00 over
+200 samples; the historical ~75% was entirely the basis-scale
+distortion described in step 1). The rare residual miss is absorbed by
+the RANSAC engine as a fractionally higher effective sample count,
+unlike the eigendecomposition route whose failures were systematic.
 
 The non-minimal refit is the weighted eight-point solve projected onto
 the essential manifold without ever decomposing the (degenerate at the
@@ -67,11 +77,15 @@ from progressivex_tpu.models.base import ModelFamily, register_family
 from progressivex_tpu.ops.linalg import (
     gauss_jordan_solve,
     nullspace_exact,
+    orthonormalize_rows,
     smallest_eigvec_psd,
 )
 
 _EPS = 1e-12
-_N_STARTS = 128
+_N_STARTS = 64  # 64 measured at 1.00/200 recovery on the orthonormal
+# basis (32 -> 0.985, 96 -> 0.995 — seed noise); the 128 the raw basis
+# used buys nothing anymore and halving the start set halves the
+# dominant minimal-solver cost.
 _N_GN = 16
 _MAX_SOL = 10
 _DEDUPE_DOT = 0.9999  # see module docstring: 0.999 merges true root pairs
@@ -100,6 +114,14 @@ def _minimal(samples):
         [x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1, o], axis=-1
     )  # [5, 9]
     basis, ns_ok = nullspace_exact(A, 4)  # [4, 9]
+    # ORTHONORMAL basis rows, so |E(q)| = 1 for every unit q. The raw
+    # RREF basis is non-orthogonal; since the Demazure constraints are
+    # homogeneous cubics, a q falling in a near-parallel direction of the
+    # raw basis had |E(q)| << 1 and its constraint residual shrank by
+    # |E|^3 — fake "roots" that outranked the true ones in the converged
+    # set. Measured recovery (200 noise-free samples, tol 1e-3):
+    # raw 0.750 -> orthonormal 0.995 (ops/linalg.orthonormalize_rows).
+    basis, ns_ok = orthonormalize_rows(basis, ns_ok)
     Es = basis.reshape(4, 3, 3)
 
     # Residual = the ten Demazure constraints evaluated directly at E(q)
