@@ -194,6 +194,8 @@ def _run(
     magsac_levels=0,
     split_pass=0,
     restart_rule="energy",
+    max_rounds=10,
+    pearl_iters=3,
     progress_callback=None,
 ):
     t0 = time.perf_counter()
@@ -228,6 +230,8 @@ def _run(
         magsac_levels=int(magsac_levels),
         split_pass=int(split_pass),
         restart_rule=str(restart_rule),
+        max_rounds=int(max_rounds),
+        pearl_iters=int(pearl_iters),
         live_progress=progress_callback is not None,
     )
     params = make_params(
@@ -403,6 +407,8 @@ def findHomographies(
     n_restarts=1,
     magsac_levels=4,
     final_relabel=2,
+    max_rounds=10,
+    pearl_iters=3,
     progress_callback=None,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
@@ -417,7 +423,13 @@ def findHomographies(
     `final_relabel` (extension kwarg, config.final_relabel) defaults to
     2: warm-started ICM against the final descriptors after merge/polish
     (measured 0.0311 vs 0.0318 mean ME on the bundled H scenes at equal
-    device time); 0 returns PEARL's last labeling (reference parity)."""
+    device time); 0 returns PEARL's last labeling (reference parity).
+    `max_rounds` / `pearl_iters` (extension kwargs, config.max_rounds /
+    config.pearl_iters) default to reference parity — the 10-round
+    proposal cap (progressive_x.h:272) and 3 labeling<->refit
+    alternations per round. The bench F protocol runs 6/2 (the measured
+    throughput knee, eval/adelaide.F_PROTOCOL); these kwargs make that
+    protocol reproducible through the public API."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
         raise ValueError("corrs should be an array with dims [n,4], n>=4")
@@ -432,7 +444,8 @@ def findHomographies(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, with_statistics=with_statistics,
         n_restarts=n_restarts, magsac_levels=magsac_levels,
-        final_relabel=final_relabel,
+        final_relabel=final_relabel, max_rounds=max_rounds,
+        pearl_iters=pearl_iters,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
@@ -462,6 +475,8 @@ def findTwoViewMotions(
     magsac_levels=4,
     final_relabel=2,
     restart_rule="energy+5k",
+    max_rounds=10,
+    pearl_iters=3,
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -494,7 +509,12 @@ def findTwoViewMotions(
     book/breadcube unchanged. "energy" restores the objective-only
     policy; "agreement" (peer-agreement rank blend) measured WORSE
     on-device (0.0394 vs 0.0246) and is kept only as a record (see
-    engine.select_restart)."""
+    engine.select_restart).
+    `max_rounds` / `pearl_iters` (extension kwargs) default to reference
+    parity (10 rounds, progressive_x.h:272; 3 alternations). The bench F
+    protocol runs 6/2 — the measured throughput knee (45.6 -> 77.7
+    scenes/s at mean ME 0.0186 -> 0.0188, eval/adelaide.F_PROTOCOL) —
+    reproducible through the public API via these kwargs."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
@@ -510,6 +530,7 @@ def findTwoViewMotions(
         random_seed=random_seed, with_statistics=with_statistics,
         n_restarts=n_restarts, magsac_levels=magsac_levels,
         final_relabel=final_relabel, restart_rule=restart_rule,
+        max_rounds=max_rounds, pearl_iters=pearl_iters,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)

@@ -123,6 +123,8 @@ def _run_batched(
     final_relabel=0,
     final_polish=0,
     lo_spatial_lambda=0.5,
+    max_rounds=10,
+    pearl_iters=3,
     do_logging=False,
     mesh=None,
     n_devices=None,
@@ -146,6 +148,8 @@ def _run_batched(
         final_relabel=int(final_relabel),
         magsac_levels=int(magsac_levels),
         restart_rule=str(restart_rule),
+        max_rounds=int(max_rounds),
+        pearl_iters=int(pearl_iters),
     )
     params = make_params(
         threshold=float(th_vec[0]),  # replaced per row inside the program
@@ -263,6 +267,8 @@ def findHomographiesBatched(
     n_restarts=1,
     magsac_levels=4,
     final_relabel=2,
+    max_rounds=10,
+    pearl_iters=3,
     mesh=None,
     n_devices=None,
 ):
@@ -288,6 +294,7 @@ def findHomographiesBatched(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
+        max_rounds=max_rounds, pearl_iters=pearl_iters,
         mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
@@ -307,16 +314,18 @@ def findTwoViewMotionsBatched(
     scoring_exponent=3,
     do_logging=False,
     random_seed=0,
-    n_restarts=5,
+    n_restarts=4,
     magsac_levels=4,
     final_relabel=2,
     restart_rule="energy+5k",
+    max_rounds=10,
+    pearl_iters=3,
     mesh=None,
     n_devices=None,
 ):
     """Multi two-view-motion fitting over a LIST of scenes in one device
     batch. Returns a list of ([3K_i, 3] stacked F rows, labeling_i);
-    defaults (5 energy-selected restarts, sigma-marginalized ranking,
+    defaults (4 energy-selected restarts, sigma-marginalized ranking,
     final relabel) match `findTwoViewMotions`."""
     datas = []
     for corrs in corrs_list:
@@ -336,7 +345,8 @@ def findTwoViewMotionsBatched(
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
-        restart_rule=restart_rule, mesh=mesh, n_devices=n_devices,
+        restart_rule=restart_rule, max_rounds=max_rounds,
+        pearl_iters=pearl_iters, mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
