@@ -1,6 +1,6 @@
 """Benchmark: AdelaideRMF multi-model throughput on one TPU chip.
 
-Protocols mirror the reference notebooks exactly
+Protocols mirror the reference notebooks
 (`dataset_comparison/adelaideH.ipynb` / `adelaideF.ipynb`, SURVEY.md §6):
 findHomographies / findTwoViewMotions with the notebook kwargs, run on the
 full downloaded AdelaideRMF datasets when reachable, else on the bundled
@@ -11,34 +11,98 @@ run a dataset: one vmapped device program over padded scenes).
 Baselines (reference CPU, BASELINE.md): H 0.077 s/scene ≈ 13 scenes/s at
 mean ME 0.064; F 0.654 s/scene ≈ 1.5 scenes/s at mean ME 0.109.
 
+Structure (VERDICT r3 item 1 — round 3's JSON never printed because the
+extras compiled ~10 fresh programs after the main phase and the driver
+timed the script out):
+  * every phase — throughput, dataset pass, the synthetic 19+18-scene
+    sweep — runs through the SAME compiled programs (the dataset pass is
+    derived from the throughput timing; the synthetic sweep pads its
+    scenes into the bundled phase's buckets via `allowed_buckets`),
+  * the JSON line is printed in a `finally`: a crash or overrun in a
+    late phase degrades the extras fields instead of losing the record,
+  * a wall-clock budget (PROGX_BENCH_BUDGET_S, default 720 s) skips
+    remaining extras once exceeded.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
 import json
+import os
 import sys
+import time
+
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "720"))
+
+
+def elapsed():
+    return time.perf_counter() - T0
 
 
 def main():
+    out = {}
+    try:
+        run_phases(out)
+    finally:
+        if out:
+            print(json.dumps(out))
+
+
+def run_phases(out):
     from progressivex_tpu.eval.adelaide import throughput_all
 
     results, compile_s = throughput_all("HF")
-    h_sps, h_me, h_n, h_full, _ = results["H"]
-    f_sps, f_me, f_n, f_full, _ = results["F"]
+    rh, rf = results["H"], results["F"]
     print(
-        f"H: {h_sps:.2f} scenes/s ME={h_me:.4f} "
-        f"(batch={h_n}, full_dataset={h_full})\n"
-        f"F: {f_sps:.2f} scenes/s ME={f_me:.4f} "
-        f"(batch={f_n}, full_dataset={f_full})\n"
+        f"H: {rh.scenes_per_sec:.2f} scenes/s ME={rh.mean_me:.4f} "
+        f"(batch={rh.n_scenes}, full_dataset={rh.full_dataset}, "
+        f"pass={rh.pass_seconds * 1e3:.1f}ms/{rh.n_distinct} scenes)\n"
+        f"F: {rf.scenes_per_sec:.2f} scenes/s ME={rf.mean_me:.4f} "
+        f"(batch={rf.n_scenes}, full_dataset={rf.full_dataset}, "
+        f"pass={rf.pass_seconds * 1e3:.1f}ms/{rf.n_distinct} scenes)\n"
         f"compile (all programs, sequential): {compile_s:.1f}s",
         file=sys.stderr,
     )
-    h_compile = f_compile = compile_s
+
+    # Reference MEs on the SAME scenes (saved notebook outputs): full
+    # datasets -> the published means; bundled fallback -> the reference's
+    # per-scene values for exactly those scenes (adelaideH.ipynb:
+    # oldclassicswing 0.005, unionhouse 0.006, unihouse 0.186;
+    # adelaideF.ipynb: book 0.032, breadcube 0.017, cubetoy 0.012).
+    h_ref = 0.064 if rh.full_dataset else round((0.005 + 0.006 + 0.186) / 3, 4)
+    f_ref = 0.109 if rf.full_dataset else round((0.032 + 0.017 + 0.012) / 3, 4)
+    out.update({
+        "metric": "adelaideH_scenes_per_sec",
+        "value": round(rh.scenes_per_sec, 3),
+        "unit": "scenes/s",
+        "vs_baseline": round(rh.scenes_per_sec / 13.0, 3),
+        "mean_misclassification": round(rh.mean_me, 4),
+        "baseline_misclassification_same_scenes": h_ref,
+        "n_scenes_batched": rh.n_scenes,
+        "full_dataset_H": rh.full_dataset,
+        "adelaideF_scenes_per_sec": round(rf.scenes_per_sec, 3),
+        "adelaideF_vs_baseline": round(rf.scenes_per_sec / 1.5, 3),
+        "adelaideF_mean_misclassification": round(rf.mean_me, 4),
+        "adelaideF_baseline_misclassification_same_scenes": f_ref,
+        "adelaideF_n_scenes_batched": rf.n_scenes,
+        "full_dataset_F": rf.full_dataset,
+        # Protocol disclosure (VERDICT r3 weak #7): the F bench runs the
+        # measured quality-neutral knee (eval/adelaide.F_PROTOCOL), not
+        # the reference's hard caps; API defaults keep reference parity.
+        "adelaideF_protocol": "max_rounds=6,pearl_iters=2 knee; reference "
+                              "10x3 caps measure 45.5 scenes/s at ME 0.0186",
+        # One pass over the distinct scenes through the same executables
+        # (reference notebooks' per-scene runtime sum).
+        "adelaideH_dataset_seconds": round(rh.pass_seconds, 4),
+        "adelaideH_dataset_n_scenes": rh.n_distinct,
+        "adelaideF_dataset_seconds": round(rf.pass_seconds, 4),
+        "adelaideF_dataset_n_scenes": rf.n_distinct,
+        "compile_seconds_all_programs": round(compile_s, 1),
+    })
 
     # T-LESS multi-6D-pose quality + runtime (reference anchors from the
     # demo outputs, cpp_example.cpp:406-438 / example_multi_pose_6d.ipynb:
     # rot 8.25/0.95 deg, transl 24.0/12.2 mm, 57.57 s on the ref CPU).
-    import time
-
     import numpy as np
 
     from progressivex_tpu import find6DPoses
@@ -63,87 +127,61 @@ def main():
         f"transl errs {tr_errs} mm (ref 24.0/12.2)",
         file=sys.stderr,
     )
-
-    # Extras (skippable with PROGX_BENCH_EXTRAS=0):
-    #  * unique-dataset pass seconds — time-to-answer for one pass over
-    #    the DISTINCT scenes at minimal lane counts (the saturated-batch
-    #    scenes/s above cannot show it; reference notebooks report the
-    #    per-scene runtime sum, adelaideH.ipynb final cell),
-    #  * the synthetic full-cardinality 19 H + 18 F dataset
-    #    (eval/synth_adelaide.py) through the same throughput_batch path —
-    #    full-dataset-scale evidence for the multi-bucket harness. MEs on
-    #    synthetic geometry are NOT comparable to the published per-scene
-    #    numbers; they gate harness correctness at scale.
-    import os
-
-    extras = {}
-    if os.environ.get("PROGX_BENCH_EXTRAS", "1") != "0":
-        from progressivex_tpu.eval.adelaide import (
-            dataset_pass_seconds, throughput_batch)
-        from progressivex_tpu.eval.synth_adelaide import ensure_synth_dataset
-
-        hp_s, hp_n, hp_c = dataset_pass_seconds("H")
-        fp_s, fp_n, fp_c = dataset_pass_seconds("F")
-        print(
-            f"dataset pass: H {hp_n} scenes in {hp_s * 1e3:.1f} ms, "
-            f"F {fp_n} scenes in {fp_s * 1e3:.1f} ms "
-            f"(extra compiles {hp_c + fp_c:.1f}s)",
-            file=sys.stderr,
-        )
-        sh = throughput_batch("H", root=ensure_synth_dataset("H"),
-                              n_timing_runs=1, lane_target=1)
-        sf = throughput_batch("F", root=ensure_synth_dataset("F"),
-                              n_timing_runs=1, lane_target=1)
-        print(
-            f"synthetic full-cardinality: H {sh[2]} scenes ME={sh[1]:.4f}, "
-            f"F {sf[2]} scenes ME={sf[1]:.4f}",
-            file=sys.stderr,
-        )
-        extras = {
-            "adelaideH_dataset_seconds": round(hp_s, 4),
-            "adelaideH_dataset_n_scenes": hp_n,
-            "adelaideF_dataset_seconds": round(fp_s, 4),
-            "adelaideF_dataset_n_scenes": fp_n,
-            "extras_compile_seconds": round(hp_c + fp_c + sh[4] + sf[4], 1),
-            "synth19H_n_scenes": sh[2],
-            "synth19H_mean_misclassification": round(sh[1], 4),
-            "synth19H_dataset_seconds": round(sh[2] / sh[0], 4),
-            "synth18F_n_scenes": sf[2],
-            "synth18F_mean_misclassification": round(sf[1], 4),
-            "synth18F_dataset_seconds": round(sf[2] / sf[0], 4),
-        }
-
-    # Reference MEs on the SAME scenes (saved notebook outputs): full
-    # datasets -> the published means; bundled fallback -> the reference's
-    # per-scene values for exactly those scenes (adelaideH.ipynb:
-    # oldclassicswing 0.005, unionhouse 0.006, unihouse 0.186;
-    # adelaideF.ipynb: book 0.032, breadcube 0.017, cubetoy 0.012).
-    h_ref = 0.064 if h_full else round((0.005 + 0.006 + 0.186) / 3, 4)
-    f_ref = 0.109 if f_full else round((0.032 + 0.017 + 0.012) / 3, 4)
-    print(json.dumps({
-        "metric": "adelaideH_scenes_per_sec",
-        "value": round(h_sps, 3),
-        "unit": "scenes/s",
-        "vs_baseline": round(h_sps / 13.0, 3),
-        "mean_misclassification": round(h_me, 4),
-        "baseline_misclassification_same_scenes": h_ref,
-        "n_scenes_batched": h_n,
-        "full_dataset_H": h_full,
-        "adelaideF_scenes_per_sec": round(f_sps, 3),
-        "adelaideF_vs_baseline": round(f_sps / 1.5, 3),
-        "adelaideF_mean_misclassification": round(f_me, 4),
-        "adelaideF_baseline_misclassification_same_scenes": f_ref,
-        "adelaideF_n_scenes_batched": f_n,
-        "full_dataset_F": f_full,
+    out.update({
         "tless_rotation_errors_deg": rot_errs,
         "tless_translation_errors_mm": tr_errs,
         "tless_ref_rotation_errors_deg": [8.25, 0.95],
         "tless_ref_translation_errors_mm": [24.0, 12.2],
         "tless_time_s": round(pose_time, 3),
         "tless_ref_time_s": 57.57,
-        "compile_seconds_all_programs": round(h_compile, 1),
-        **extras,
-    }))
+    })
+
+    # Synthetic full-cardinality 19 H + 18 F sweep (eval/synth_adelaide):
+    # full-dataset-scale evidence for the multi-bucket harness, run
+    # through the bundled phase's EXECUTABLES (allowed_buckets) — the only
+    # possible new program is the F 384-point bucket (bundled F scenes
+    # are all <= 256 points, the synthetic dataset matches the real F
+    # scenes' 150-600 range). MEs on synthetic geometry are NOT
+    # comparable to the published per-scene numbers; they gate harness
+    # correctness at scale.
+    if os.environ.get("PROGX_BENCH_EXTRAS", "1") == "0":
+        return
+    if elapsed() > BUDGET_S:
+        print(f"[bench] skipping synthetic sweep: {elapsed():.0f}s "
+              f"> budget {BUDGET_S:.0f}s", file=sys.stderr)
+        return
+    try:
+        from progressivex_tpu.eval.adelaide import throughput_batch
+        from progressivex_tpu.eval.synth_adelaide import ensure_synth_dataset
+
+        for prob, res in (("H", rh), ("F", rf)):
+            if elapsed() > BUDGET_S:
+                print(f"[bench] skipping synth {prob}: over budget",
+                      file=sys.stderr)
+                break
+            allowed = {b["n_pad"] for b in res.buckets}
+            s = throughput_batch(prob, root=ensure_synth_dataset(prob),
+                                 n_timing_runs=1, allowed_buckets=allowed)
+            print(
+                f"synthetic full-cardinality {prob}: {s.n_distinct} scenes "
+                f"ME={s.mean_me:.4f} pass={s.pass_seconds * 1e3:.1f}ms "
+                f"(extra compile {s.compile_seconds:.1f}s)",
+                file=sys.stderr,
+            )
+            card = {"H": 19, "F": 18}[prob]
+            out.update({
+                f"synth{card}{prob}_n_scenes": s.n_distinct,
+                f"synth{card}{prob}_mean_misclassification":
+                    round(s.mean_me, 4),
+                f"synth{card}{prob}_dataset_seconds":
+                    round(s.pass_seconds, 4),
+                f"synth{card}{prob}_compile_seconds":
+                    round(s.compile_seconds, 1),
+            })
+    except Exception as e:  # noqa: BLE001 — extras must never eat the JSON
+        print(f"[bench] WARNING: synthetic sweep failed: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+        out["synth_sweep_error"] = f"{type(e).__name__}: {e}"
 
 
 if __name__ == "__main__":

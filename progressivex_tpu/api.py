@@ -107,11 +107,12 @@ def _pad_to(n: int) -> int:
 # iterations anyway).
 # Fundamental caps at 512 for a different reason: per single run the
 # 7-point pipeline PREFERS the bigger pool (mean ME 0.035 at 1365 vs
-# 0.046 at 512), but its front-end DEFAULT is n_restarts=5
-# (findTwoViewMotions), and 5 energy-selected restarts x 512 samples
-# strictly dominates 3 x 1365 (mean ME 0.032 vs 0.046 at equal device
-# time) — restart diversity buys more than pool depth. A user forcing
-# n_restarts=1 gives up a little single-roll quality.
+# 0.046 at 512), but its front-end DEFAULT is n_restarts=4
+# (findTwoViewMotions; measured round 3 — the 5th restart bought nothing),
+# and energy-selected restarts x 512 samples strictly dominate 3 x 1365
+# (mean ME 0.032 vs 0.046 at equal device time) — restart diversity buys
+# more than pool depth. A user forcing n_restarts=1 gives up a little
+# single-roll quality.
 # (Homography re-measured at 256: unihouse ME 0.121 vs 0.135 at 512 and
 # 0.17 at 1000, small scenes unchanged at 0.015 — the trend holds, so the
 # cap is 256; line/VP keep 512, untested lower.)
@@ -193,6 +194,7 @@ def _run(
     final_relabel=0,
     magsac_levels=0,
     split_pass=0,
+    polish_trim=0.0,
     restart_rule="energy",
     max_rounds=10,
     pearl_iters=3,
@@ -229,6 +231,7 @@ def _run(
         final_relabel=int(final_relabel),
         magsac_levels=int(magsac_levels),
         split_pass=int(split_pass),
+        polish_trim=float(polish_trim),
         restart_rule=str(restart_rule),
         max_rounds=int(max_rounds),
         pearl_iters=int(pearl_iters),
@@ -477,6 +480,7 @@ def findTwoViewMotions(
     restart_rule="energy+5k",
     max_rounds=10,
     pearl_iters=3,
+    split_pass=0,
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -514,7 +518,12 @@ def findTwoViewMotions(
     parity (10 rounds, progressive_x.h:272; 3 alternations). The bench F
     protocol runs 6/2 — the measured throughput knee (45.6 -> 77.7
     scenes/s at mean ME 0.0186 -> 0.0188, eval/adelaide.F_PROTOCOL) —
-    reproducible through the public API via these kwargs."""
+    reproducible through the public API via these kwargs.
+    `split_pass` (extension kwarg, config.split_pass) defaults to 0:
+    rounds of final instance-SPLIT moves (core/pearl.split_instances),
+    the move that dissolves "bridge" instances genuinely spanning two
+    structures. The essential front end defaults it ON (its gauntlet's
+    measured failure mode is a bridge); for F it is opt-in."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
@@ -531,6 +540,7 @@ def findTwoViewMotions(
         n_restarts=n_restarts, magsac_levels=magsac_levels,
         final_relabel=final_relabel, restart_rule=restart_rule,
         max_rounds=max_rounds, pearl_iters=pearl_iters,
+        split_pass=split_pass,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
@@ -633,6 +643,7 @@ def find6DPoses(
     random_seed=0,
     with_statistics=False,
     n_restarts=3,
+    polish_trim=0.0,
     progress_callback=None,
 ):
     """Multi 6D-pose fitting from 2D-3D correspondences.
@@ -676,6 +687,7 @@ def find6DPoses(
         scoring_exponent=2, do_logging=do_logging, random_seed=random_seed,
         graph_data=graph_data, with_statistics=with_statistics,
         n_restarts=n_restarts, lo_spatial_lambda=0.0, final_polish=3,
+        polish_trim=polish_trim,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 4).astype(np.float64)

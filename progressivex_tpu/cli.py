@@ -24,16 +24,17 @@ def bench_main(argv=None):
     args = p.parse_args(argv)
     out = {}
     for prob in args.problems.upper():
-        sps, me, n, full, compile_s = throughput_batch(
-            prob, n_timing_runs=args.timing_runs)
+        r = throughput_batch(prob, n_timing_runs=args.timing_runs)
         print(
-            f"{prob}: {sps:.2f} scenes/s ME={me:.4f} "
-            f"(batch={n}, full_dataset={full}, compile={compile_s:.1f}s)",
+            f"{prob}: {r.scenes_per_sec:.2f} scenes/s ME={r.mean_me:.4f} "
+            f"(batch={r.n_scenes}, full_dataset={r.full_dataset}, "
+            f"compile={r.compile_seconds:.1f}s)",
             file=sys.stderr,
         )
-        out[f"adelaide{prob}_scenes_per_sec"] = round(sps, 3)
-        out[f"adelaide{prob}_mean_me"] = round(me, 4)
-        out[f"adelaide{prob}_full_dataset"] = full
+        out[f"adelaide{prob}_scenes_per_sec"] = round(r.scenes_per_sec, 3)
+        out[f"adelaide{prob}_mean_me"] = round(r.mean_me, 4)
+        out[f"adelaide{prob}_full_dataset"] = r.full_dataset
+        out[f"adelaide{prob}_dataset_pass_seconds"] = round(r.pass_seconds, 4)
     print(json.dumps(out))
 
 

@@ -99,6 +99,19 @@ class EngineConfig:
     # [B, N] scoring pipeline already saturates the chip here, so the
     # hand kernel only adds launch overhead. Ignored for unsupported
     # families.
+    polish_trim: float = 0.0  # fraction of each instance's HIGHEST-residual
+    # assigned points DROPPED from the final_polish refits (an LTS-style
+    # trimmed refit, re-ranked every pass). Targets support contamination:
+    # on T-LESS the winning pose instance's support is ~70% points from
+    # the other object (io/metrics oracle, round-3 memory) and the plain
+    # truncated-IRLS refit is biased toward the contaminant cluster —
+    # threshold-tightening cannot fix it (the contaminants sit at LOW
+    # residual under the biased pose; measured WORSE round 3) while a
+    # rank-based trim adapts to whatever scale the bias sits at. 0 = off;
+    # acceptance for a trimmed pass is evaluated on the SAME trimmed
+    # subset (a refit moving off the contaminants must not be vetoed by
+    # the contaminants' rising residuals). Only meaningful with
+    # final_polish > 0.
     final_polish: int = 0  # extra per-instance IRLS refit passes on the
     # FINAL state (after the last round's PEARL + merge): each pass refits
     # every active instance on its assigned points with truncated-
@@ -166,6 +179,14 @@ class EngineConfig:
     # (ops/scoring.sigma_marginalized_preference). Acceptance tests
     # (Tanimoto, inlier counts, compound preference) keep the reference
     # definitions either way.
+    neighborhood: str = "knn"  # neighborhood-graph construction: "knn" =
+    # radius-gated k-nearest (the FLANN ball graph the reference's Python
+    # front ends always build, progressivex_python.cpp:104-105); "grid" =
+    # same-grid-cell co-membership (GridNeighborhoodGraph,
+    # neighborhood/grid_neighborhood_graph.h — shipped by the reference
+    # but never instantiated from Python; provided for parity,
+    # ops/knn.grid_graph). Both yield the same [N, k] idx/mask contract;
+    # params.neighborhood_radius doubles as the grid cell width.
     hyp_axis: str | None = None  # mesh axis name for hypothesis parallelism:
     # each device draws n_hypotheses samples and the best proposal is
     # reduced across the axis (see parallel/sharding.py)

@@ -552,9 +552,16 @@ def fit(
     # the labeling (Potts) graph, the full sampler_k columns the NAPSAC
     # sampling neighborhood (see config.py for why they differ).
     k_all = max(cfg.knn_k, cfg.sampler_k)
-    samp_idx, samp_mask = knn_graph(
-        gd, point_mask, params.neighborhood_radius, k_all
-    )
+    if cfg.neighborhood == "grid":
+        from progressivex_tpu.ops.knn import grid_graph
+
+        samp_idx, samp_mask = grid_graph(
+            gd, point_mask, params.neighborhood_radius, k_all
+        )
+    else:
+        samp_idx, samp_mask = knn_graph(
+            gd, point_mask, params.neighborhood_radius, k_all
+        )
     knn_idx, knn_mask = samp_idx[:, : cfg.knn_k], samp_mask[:, : cfg.knn_k]
     # One-hot adjacency: built once per fit, reused by every ICM sweep of
     # every PEARL call as an MXU matmul operand (ops/labeling.py hardware
@@ -673,25 +680,51 @@ def _final_polish(family, cfg, params, data, pmask, pweights, descs, active,
     truncated-preference weights (recomputed per pass, so warm-started
     Gauss-Newton families take genuinely new steps) and keeps the refit
     only if the truncated residual sum over those points drops — the same
-    acceptance rule as PEARL's refit step (PEARL.h:393-399 analog)."""
+    acceptance rule as PEARL's refit step (PEARL.h:393-399 analog).
+
+    With cfg.polish_trim > 0 each pass first drops the instance's
+    highest-residual `polish_trim` fraction (re-ranked per pass, an
+    LTS-style trimmed refit) and both the refit weights AND the
+    acceptance sum use only the kept subset — see config.polish_trim."""
     trunc_sq = truncated_sq_threshold(params.threshold)
     k_slots = cfg.max_models
     onehot = (labels[:, None] == jnp.arange(k_slots)[None, :]) & pmask[:, None]
-    fit_w = onehot.T.astype(data.dtype) * pweights[None, :]  # [K, N]
+    member = onehot.T  # [K, N]
+    fit_w = member.astype(data.dtype) * pweights[None, :]  # [K, N]
     cap = 2.25 * trunc_sq
+    nk = jnp.sum(member, axis=1)  # [K]
 
-    def trunc_sum(r2m):
-        return jnp.sum(onehot.T * jnp.sqrt(jnp.minimum(r2m, cap)), axis=1)
+    def keep_mask(r2m):
+        """Per-instance bool [K, N]: members below the trim quantile."""
+        if cfg.polish_trim <= 0.0:
+            return member
+        r2_inf = jnp.where(member, r2m, jnp.inf)
+        srt = jnp.sort(r2_inf, axis=1)
+        # Keep ceil((1-trim) * nk) points, never fewer than the family's
+        # non-minimal solver needs (tiny instances refit untrimmed).
+        floor_n = max(int(getattr(family, "nonminimal_min", 4)), 4)
+        keep_n = jnp.maximum(
+            jnp.ceil((1.0 - cfg.polish_trim) * nk).astype(jnp.int32),
+            jnp.minimum(nk, floor_n),
+        )
+        idx = jnp.clip(keep_n - 1, 0, r2m.shape[1] - 1)
+        t_k = jnp.take_along_axis(srt, idx[:, None], axis=1)  # [K, 1]
+        return member & (r2m <= t_k)
+
+    def trunc_sum(r2m, kmask):
+        return jnp.sum(kmask * jnp.sqrt(jnp.minimum(r2m, cap)), axis=1)
 
     for _ in range(cfg.final_polish):
         r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(data, descs)
+        kmask = keep_mask(r2)
         pref = jnp.maximum(0.0, 1.0 - r2 / trunc_sq)
         new_descs, ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
-            data, fit_w * pref, descs
+            data, fit_w * pref * kmask, descs
         )
         r2_new = jax.vmap(family.squared_residual, in_axes=(None, 0))(
             data, new_descs)
-        accept = ok & active & (trunc_sum(r2_new) < trunc_sum(r2))
+        accept = ok & active & (trunc_sum(r2_new, kmask)
+                                < trunc_sum(r2, kmask))
         descs = jnp.where(accept[:, None], new_descs, descs)
     return descs
 

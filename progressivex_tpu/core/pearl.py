@@ -582,13 +582,19 @@ def split_instances(
             # an all-clean sample with probability ~1-(1-0.84^m)^S and
             # recovers the half's true model outright (best-of-8 scored
             # 82/90 support where the LSQ route scored 19). Samples are
-            # deterministic co-prime strides over the half's points (no
-            # RNG plumbing; RANSAC-style coverage is all that matters).
+            # deterministic strides over the half's points (no RNG
+            # plumbing; RANSAC-style coverage is all that matters):
+            # within one sample the m indices are i*7 + floor(j*npart/m),
+            # which are pairwise distinct whenever npart >= m (the floor
+            # terms are strictly increasing and < npart) — the old
+            # co-prime i*7 + j*13 stride collapsed to duplicated in-sample
+            # points whenever npart was a multiple of 13 (ADVICE r3).
             npart = jnp.sum(part)
             m = family.sample_size
             order = jnp.argsort(jnp.where(part, 0, 1), stable=True)
             s_ix = (jnp.arange(_SPLIT_SAMPLES)[:, None] * 7
-                    + jnp.arange(m)[None, :] * 13) % jnp.maximum(npart, 1)
+                    + (jnp.arange(m)[None, :] * npart) // m
+                    ) % jnp.maximum(npart, 1)
             samp = data[order[s_ix]]  # [S, m, d]
             if family.minimal_solver_batched is not None:
                 dh, vh = family.minimal_solver_batched(samp)

@@ -82,3 +82,57 @@ def knn_graph(points, valid_mask, radius, k: int, chunk: int = 256):
     d2k = d2_c.reshape(n_chunks * chunk, k)[:n]
     mask = (d2k <= radius * radius) & valid_mask[:, None]
     return idx, mask
+
+
+def grid_graph(points, valid_mask, cell_size, k: int, chunk: int = 256):
+    """Grid-cell neighborhood graph: two points are neighbors iff they
+    fall in the SAME axis-aligned grid cell of width `cell_size` per
+    dimension — the TPU counterpart of the reference's
+    GridNeighborhoodGraph (`neighborhood/grid_neighborhood_graph.h`,
+    included by `progressivex_python.cpp:15` though the reference's
+    Python front ends always instantiate the FLANN ball graph instead).
+
+    Same contract as knn_graph: returns (idx [N, k] int32, mask [N, k]
+    bool), at most k same-cell neighbors per point (the k NEAREST
+    in-cell, so a degree-capped cell keeps its tightest cluster),
+    self-edges masked. Cell ids hash each dimension's cell coordinate
+    with large primes under int32 wraparound; for a scene's few thousand
+    points the collision probability is ~n^2/2^33 < 1e-3, and a
+    collision only adds spurious Potts edges between two cells.
+    """
+    n, d = points.shape
+    cells = jnp.floor(points / cell_size).astype(jnp.int32)
+    primes = jnp.array(
+        [73856093, 19349663, 83492791, 32452843, 87382121][:d],
+        jnp.int32)
+    cid = jnp.sum(cells * primes[None, :], axis=1)
+
+    chunk = min(chunk, n)
+    n_chunks = -(-n // chunk)
+    n_rows = n_chunks * chunk
+    points_q = (jnp.pad(points, ((0, n_rows - n), (0, 0)))
+                if n_rows != n else points)
+    cid_q = jnp.pad(cid, (0, n_rows - n)) if n_rows != n else cid
+    sq = jnp.sum(points * points, axis=-1)
+    sq_q = jnp.sum(points_q * points_q, axis=-1)
+
+    def one_chunk(c):
+        rows = lax.dynamic_slice(
+            points_q, (c * chunk, 0), (chunk, points_q.shape[1]))
+        row_sq = lax.dynamic_slice(sq_q, (c * chunk,), (chunk,))
+        row_cid = lax.dynamic_slice(cid_q, (c * chunk,), (chunk,))
+        d2 = row_sq[:, None] + sq[None, :] - 2.0 * (rows @ points.T)
+        d2 = jnp.maximum(d2, 0.0)
+        row_ids = c * chunk + jnp.arange(chunk)
+        self_edge = row_ids[:, None] == jnp.arange(n)[None, :]
+        same = row_cid[:, None] == cid[None, :]
+        bad = self_edge | ~valid_mask[None, :] | ~same
+        d2 = jnp.where(bad, 3.4e38, d2)
+        neg_d2, idx = lax.top_k(-d2, k)
+        return idx.astype(jnp.int32), -neg_d2
+
+    idx_c, d2_c = lax.map(one_chunk, jnp.arange(n_chunks))
+    idx = idx_c.reshape(n_rows, k)[:n]
+    d2k = d2_c.reshape(n_rows, k)[:n]
+    mask = (d2k < 3.4e38) & valid_mask[:, None]
+    return idx, mask

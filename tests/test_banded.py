@@ -126,3 +126,35 @@ def test_engine_restart_selection_matches_best_energy():
     assert float(multi.energy) == pytest.approx(float(best.energy), rel=1e-5)
     np.testing.assert_array_equal(
         np.asarray(multi.labels), np.asarray(best.labels))
+
+
+def test_grid_graph_same_cell_semantics():
+    """grid_graph (GridNeighborhoodGraph parity, ops/knn.grid_graph):
+    neighbors are exactly same-cell points (k-capped, nearest-first),
+    self-edges masked, padding masked."""
+    from progressivex_tpu.ops.knn import grid_graph
+
+    r = np.random.default_rng(0)
+    n, cell = 96, 10.0
+    pts = r.uniform(0, 50, (n, 2))
+    mask = np.ones(n, bool)
+    mask[-8:] = False
+    k = 6
+    idx, m = grid_graph(jnp.array(pts), jnp.array(mask), cell, k)
+    idx, m = np.asarray(idx), np.asarray(m)
+    cells = np.floor(pts / cell).astype(int)
+    for i in range(n):
+        if not mask[i]:
+            continue
+        nbrs = idx[i][m[i]]
+        # Every reported neighbor: valid, not self, same cell.
+        assert i not in nbrs
+        for j in nbrs:
+            assert mask[j]
+            assert (cells[j] == cells[i]).all(), (i, j)
+        # Degree = min(k, same-cell population - 1).
+        pop = sum(1 for j in range(n)
+                  if mask[j] and j != i and (cells[j] == cells[i]).all())
+        assert m[i].sum() == min(k, pop), (i, pop)
+    # Padded rows report no neighbors.
+    assert not m[~mask].any()

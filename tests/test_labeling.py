@@ -76,3 +76,22 @@ def test_inactive_slots_never_selected():
     labels0 = jnp.full((r2.shape[1],), 3, jnp.int32)
     labels, _ = icm_sweeps(dcost, labels0, adj, 0.0, 4)
     assert not np.any(np.asarray(labels) == 1)
+
+
+def test_split_sample_indices_distinct():
+    """split_instances' deterministic half-sampling must put m DISTINCT
+    points in every minimal sample whenever the half holds >= m points.
+    The round-3 co-prime stride (i*7 + j*13 mod npart) degenerated to
+    duplicated in-sample points for halves of size 13/26/39/52 (ADVICE
+    r3); the fixed stride i*7 + floor(j*npart/m) is collision-free for
+    all npart >= m."""
+    from progressivex_tpu.core.pearl import _SPLIT_SAMPLES
+
+    for m in (2, 3, 4, 5, 6, 7):  # family sample sizes in the registry
+        for npart in (m, m + 1, 13, 26, 39, 52, 64, 65, 100):
+            if npart < m:
+                continue
+            s_ix = (np.arange(_SPLIT_SAMPLES)[:, None] * 7
+                    + (np.arange(m)[None, :] * npart) // m) % npart
+            for row in s_ix:
+                assert len(set(row.tolist())) == m, (m, npart, row)
