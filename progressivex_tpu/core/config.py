@@ -99,6 +99,21 @@ class EngineConfig:
     # [B, N] scoring pipeline already saturates the chip here, so the
     # hand kernel only adds launch overhead. Ignored for unsupported
     # families.
+    polish_research: int = 0  # minimal samples per instance for a final
+    # TIGHT-THRESHOLD LOCAL RE-SEARCH (engine._polish_research): draw this
+    # many minimal samples inside each final instance's support, score
+    # candidates by inlier count at threshold/2 WITHIN the support, GN-
+    # polish the winner at the tight scale, and replace the instance's
+    # descriptor iff its tight-inlier count beats the current one's.
+    # Targets diffuse near-threshold contamination (T-LESS: the winning
+    # pose's support is ~30% true object points in a tight <1.5 px core
+    # plus ~70% scene clutter spread over 2-6 px; the loose-threshold
+    # PEARL/polish refits drift toward the diffuse majority, while at
+    # threshold/2 the concentrated true mode outscores any clutter pose —
+    # the same local-minimal-re-search recipe that fixed the essential
+    # bridge, core/pearl.split_instances.fit_half). Warm-started tight
+    # polish alone was measured WORSE round 3 (it keeps the drifted
+    # basin); the clean-sample restart is what escapes it. 0 = off.
     polish_trim: float = 0.0  # fraction of each instance's HIGHEST-residual
     # assigned points DROPPED from the final_polish refits (an LTS-style
     # trimmed refit, re-ranked every pass). Targets support contamination:

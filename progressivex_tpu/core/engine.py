@@ -729,6 +729,92 @@ def _final_polish(family, cfg, params, data, pmask, pweights, descs, active,
     return descs
 
 
+def _polish_research(family, cfg, params, data, pmask, pweights, descs,
+                     active, labels):
+    """Tight-threshold local minimal re-search on the final instances
+    (cfg.polish_research — see config.py for the full rationale).
+
+    For every active instance: cfg.polish_research minimal samples drawn
+    from its labeled points by the collision-free deterministic stride of
+    pearl.split_instances.fit_half, candidates scored by inlier count at
+    threshold/2 within the support, the winner GN-polished at the tight
+    scale (support-count acceptance per step), and the instance replaced
+    iff its tight-inlier count strictly beats the incumbent's. Clean
+    instances keep their pose (the incumbent already owns the tight
+    core); contaminated ones snap to the concentrated true mode."""
+    S = cfg.polish_research
+    m = family.sample_size
+    k_slots = cfg.max_models
+    tight = params.threshold * 0.5
+    t2 = tight * tight
+    trunc_tight = 2.25 * t2
+
+    def one_instance(desc, act, k):
+        part = (labels == k) & pmask
+        npart = jnp.sum(part)
+        order = jnp.argsort(jnp.where(part, 0, 1), stable=True)
+        s_ix = (jnp.arange(S)[:, None] * 7
+                + (jnp.arange(m)[None, :] * npart) // m
+                ) % jnp.maximum(npart, 1)
+        samp = data[order[s_ix]]  # [S, m, d]
+        if family.minimal_solver_batched is not None:
+            dh, vh = family.minimal_solver_batched(samp)
+        else:
+            dh, vh = jax.vmap(family.minimal_solver)(samp)
+        flat = dh.reshape(-1, family.desc_dim)
+        vf = vh.reshape(-1)
+
+        def tight_global(d):
+            """Tight-inlier count over ALL valid points, not just the
+            instance's own support: a contaminated structure's true
+            inliers are typically SPLIT across instances (T-LESS seed-1
+            oracle: 86 true pose-0 points split 39/44 between two
+            instances, each then drowned by its own clutter), so scoring
+            within one support caps at its fragment and the true mode can
+            never win. Global tight support sees the whole core."""
+            r2v = family.squared_residual(data, d)
+            return jnp.sum((r2v < t2) & pmask)
+
+        r2h = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+            data, flat)
+        sup = jnp.sum((r2h < t2) & pmask[None, :], axis=1)
+        sup = jnp.where(vf & jnp.isfinite(flat).all(axis=1), sup, -1)
+        best = jnp.argmax(sup)
+        cand = flat[best]
+        cand_ok = sup[best] > 0
+        wts = pmask.astype(data.dtype) * pweights
+
+        def body(_, c):
+            r2v = family.squared_residual(data, c)
+            pref = jnp.maximum(0.0, 1.0 - r2v / trunc_tight)
+            c2, ok2 = family.refit(data, pref * wts, c)
+            better = ok2 & jnp.isfinite(c2).all() & (
+                tight_global(c2) >= tight_global(c))
+            return jnp.where(better, c2, c)
+
+        cand = lax.fori_loop(0, 3, body, cand)
+        # Guards against replacing a healthy pose with an overfit
+        # subcluster or with ANOTHER structure's pose (samples of 3
+        # clutter points can land anywhere):
+        #   * anchor — the candidate must retain at least half of the
+        #     incumbent's in-support tight core (the structure's true
+        #     points are a subset of that core, so the fixed pose keeps
+        #     them; a different structure's pose keeps none),
+        #   * margin — global tight count must beat the incumbent's by
+        #     25%, not by one lucky point.
+        r2_inc = family.squared_residual(data, desc)
+        core = (r2_inc < t2) & part
+        r2_cand = family.squared_residual(data, cand)
+        anchored = (jnp.sum(core & (r2_cand < t2)).astype(data.dtype)
+                    >= 0.5 * jnp.sum(core).astype(data.dtype))
+        take = (act & cand_ok & anchored
+                & (tight_global(cand).astype(data.dtype)
+                   > 1.25 * tight_global(desc).astype(data.dtype)))
+        return jnp.where(take, cand, desc)
+
+    return jax.vmap(one_instance)(descs, active, jnp.arange(k_slots))
+
+
 def _total_energy(family, params, data, pmask, adj, descs, active, labels):
     """Total objective of a final state: labeling energy (data + Potts,
     ops/labeling.labeling_energy) + label cost x live instances — the same
@@ -894,6 +980,14 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
                                labels=m_labels)
     if cfg.final_polish > 0:
         state = state._replace(descs=_final_polish(
+            family, cfg, params, data, point_mask, point_weights,
+            state.descs, state.active, state.labels,
+        ))
+    if cfg.polish_research > 0:
+        # LAST descriptor pass by design: a loose-threshold refit after it
+        # would drag the tight-mode pose straight back toward the diffuse
+        # near-threshold contamination it just escaped (config.py).
+        state = state._replace(descs=_polish_research(
             family, cfg, params, data, point_mask, point_weights,
             state.descs, state.active, state.labels,
         ))

@@ -57,6 +57,19 @@ H_PROTOCOL = dict(
     # Extension (config.final_relabel): measured 0.0311 vs 0.0318 (32
     # lanes x 3 seeds) at equal batch time; matches findHomographies.
     final_relabel=2,
+    # Extension (config.pearl_iters): 2 PEARL alternations per round
+    # instead of the reference cap 3 — the H counterpart of the measured
+    # F knee. Round-4 v5e measurement (128-lane buckets, 3 timed runs,
+    # compile_probe --jit --score): 384 bucket 428.7 -> 516.0 scenes/s
+    # (ME 0.0098 -> 0.0105), 2304 bucket 224.6 -> 271.2 scenes/s with
+    # unihouse ME IMPROVING 0.0797 -> 0.0747; aggregate ~355 scenes/s at
+    # mean ME ~0.032 (r2's while-loop best was 318.5 at 0.0327 — this
+    # recovers the round-3 unroll regression with headroom and no quality
+    # loss). pearl_iters=1 is the cliff: 623 scenes/s but oldclassicswing
+    # 0.0077 -> 0.0359, rejected. icm_sweeps 4 -> 3 measured neutral
+    # (513.8 vs 516.0) and stays at 4. API defaults keep reference parity
+    # (3 alternations); this is a bench-protocol choice like F's.
+    pearl_iters=2,
 )
 F_PROTOCOL = dict(
     threshold=0.75, conf=0.5, spatial_coherence_weight=0.5,
