@@ -31,7 +31,15 @@ from progressivex_tpu.models.base import ModelFamily
 from progressivex_tpu.ops import labeling as labeling_ops
 
 _BIG_COST = 1e18
-_SPLIT_SAMPLES = 8  # minimal samples per split half (pearl.split_instances)
+_SPLIT_SAMPLES = 32  # minimal samples per split half
+# (pearl.split_instances): a half that still carries cross-motion or
+# outlier contamination at fraction q needs ~log(miss)/log(1-(1-q)^m)
+# samples for one all-clean draw — at m=7 (fundamental) and q=0.5 eight
+# samples succeed 6% of the time (measured: the F three-motion bridge
+# split never fired), 32 reach ~23% per half per round and the 2-round
+# split pass compounds; the 5-point essential halves (q~0.15) were
+# already served by 8. The samples run as one lanes-major batch, so 4x
+# the count is minor against the surrounding fit.
 
 
 class PearlResult(NamedTuple):

@@ -105,7 +105,16 @@ H_KW = dict(threshold=3.0, conf=0.5, spatial_coherence_weight=0.1,
 F_KW = dict(threshold=0.75, conf=0.5, spatial_coherence_weight=0.3,
             neighborhood_ball_radius=50.0, maximum_tanimoto_similarity=0.4,
             max_iters=2000, minimum_point_number=20, maximum_model_number=6,
-            sampler_id=0, scoring_exponent=2, n_restarts=3)
+            sampler_id=2, scoring_exponent=2, n_restarts=3)
+# sampler_id=2 (P-NAPSAC, the AdelaideRMF-F protocol's own sampler — was
+# 0/uniform until round 4): at 3 structures x 100 points in 667 rows a
+# UNIFORM clean 7-point draw has probability 0.15^7 ~ 2e-8, so whole
+# motions went unfound on many rolls (measured: the missing structures'
+# points sat 99-100 strong in the OUTLIER pool — not a bridge state, an
+# un-proposed one). The motions are spatially compact, which is exactly
+# the structure P-NAPSAC exploits; measured across run-seeds 0/5/9:
+# uniform found 3/3 motions on 0 of 3 seeds, P-NAPSAC on 2 of 3 (seed 9
+# rolls a 2-motion basin in all restarts either way).
 
 
 def test_gauntlet_five_planes_sixty_pct_outliers():
@@ -135,14 +144,20 @@ def test_gauntlet_near_degenerate_planes():
 
 
 def test_gauntlet_three_motions():
+    """Round-4 gate raise (VERDICT r3 item 5): ALL three motions, ME
+    <= 0.12. Two changes earned it: the protocol sampler (see F_KW) and
+    split_pass=2 — the final instance-split move, which on the uniform-
+    sampler bridge rolls repaired K=1/ME 0.31 to K=3/ME 0.13 and here
+    measures 0.0871 -> 0.0886 (neutral) while guarding the bridge mode.
+    Measured at this exact config: K=3, ME 0.0886."""
     corrs, gt = make_multi_motion_scene(
         n_motions=3, pts_per=100, outlier_frac=0.55, seed=3)
-    descs, labels = findTwoViewMotions(corrs, **F_KW, random_seed=0)
+    descs, labels = findTwoViewMotions(corrs, **F_KW, split_pass=2,
+                                       random_seed=0)
     k = descs.shape[0] // 3
     me = misclassification(labels, gt)
-    assert k >= 2, f"found {k} of 3 motions"
-    # Measured: 2 of 3 motions separated, ME 0.195.
-    assert me <= 0.30, f"misclassification {me:.3f}"
+    assert k == 3, f"found {k} of 3 motions"
+    assert me <= 0.12, f"misclassification {me:.3f}"
 
 
 def test_gauntlet_dataset_max_scale():
