@@ -28,24 +28,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import json
 import os
+import signal
 import sys
 import time
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "720"))
+# Self-skip extras well before any external driver timeout: the tunneled
+# compile service's load variance is large (the same cached program
+# measured 53 s and 386 s to load across back-to-back runs), and a
+# driver-side `timeout` SIGTERM would not run `finally` blocks — see the
+# handler below, which converts SIGTERM into SystemExit so the JSON
+# still prints even if the budget estimate loses to service variance.
+BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "600"))
 
 
 def elapsed():
     return time.perf_counter() - T0
 
 
+def _on_term(signum, frame):
+    raise SystemExit(124)
+
+
 def main():
     out = {}
+    signal.signal(signal.SIGTERM, _on_term)
     try:
         run_phases(out)
     finally:
         if out:
-            print(json.dumps(out))
+            print(json.dumps(out), flush=True)
 
 
 def run_phases(out):

@@ -263,6 +263,18 @@ class ThroughputResult(NamedTuple):
     buckets: tuple  # per-bucket dicts: n_pad, lanes, n_restarts, best_s
 
 
+# In-process registry of jitted bench programs, keyed by everything that
+# shapes the traced computation: (family, EngineConfig, n_pad, device
+# rows, runtime-params values, mesh shape). Two _LaneBatch instances with
+# the same key get the SAME jit callable, so jax serves the second from
+# its in-process executable cache — without this, every phase that
+# rebuilt a batch (the synthetic full-cardinality sweep) re-traced a
+# fresh lambda and re-loaded the multi-MB executable from the persistent
+# cache (~50 s per program on the tunneled backend; measured 98.7 s of
+# pure re-loading in the round-4 bench's synthetic H phase).
+_RUN_REGISTRY: dict = {}
+
+
 class _LaneBatch:
     """One padded lane batch: device arrays + the jitted program.
 
@@ -321,25 +333,32 @@ class _LaneBatch:
             max_models=kw["maximum_model_number"],
             scoring_exponent=kw["scoring_exponent"], n_valid=n_pad,
         )
-        inner = jax.vmap(
-            lambda d, m, w, k, nvi: fit(
-                family, cfg, params._replace(n_valid=nvi), d, m, w, k
+        reg_key = (family.name, cfg, n_pad, self.ns,
+                   tuple(float(v) for v in params),
+                   None if mesh is None else tuple(sorted(
+                       mesh.shape.items())))
+        self.run = _RUN_REGISTRY.get(reg_key)
+        if self.run is None:
+            inner = jax.vmap(
+                lambda d, m, w, k, nvi: fit(
+                    family, cfg, params._replace(n_valid=nvi), d, m, w, k
+                )
             )
-        )
-        if mesh is None:
-            self.run = jax.jit(inner)
-        else:
-            # Scene-axis sharding of the bench batch over a device mesh
-            # (PROGX_BENCH_DEVICES) — pure SPMD, zero communication;
-            # row counts are kept divisible by the axis size in
-            # _prepare_lane_batches.
-            from jax.sharding import PartitionSpec as P
+            if mesh is None:
+                self.run = jax.jit(inner)
+            else:
+                # Scene-axis sharding of the bench batch over a device
+                # mesh (PROGX_BENCH_DEVICES) — pure SPMD, zero
+                # communication; row counts are kept divisible by the
+                # axis size in _prepare_lane_batches.
+                from jax.sharding import PartitionSpec as P
 
-            spec = P("scenes")
-            self.run = jax.jit(jax.shard_map(
-                inner, mesh=mesh, in_specs=(spec,) * 5, out_specs=spec,
-                check_vma=False,
-            ))
+                spec = P("scenes")
+                self.run = jax.jit(jax.shard_map(
+                    inner, mesh=mesh, in_specs=(spec,) * 5,
+                    out_specs=spec, check_vma=False,
+                ))
+            _RUN_REGISTRY[reg_key] = self.run
 
     def compile(self):
         """Trigger (and wait for) compilation without timing it as a run."""
@@ -387,18 +406,23 @@ class _LaneBatch:
             # the restart API would get — is scored.
             from progressivex_tpu.core.engine import select_restart
 
-            energy = np.asarray(res.energy).reshape(n_restarts, lanes)
-            pref = np.asarray(res.compound_pref).reshape(
-                n_restarts, lanes, -1)
-            nmod = np.asarray(res.n_models).reshape(n_restarts, lanes)
+            # ONE bulk device->host fetch per FitResult field: the
+            # per-lane fetch this replaces issued lanes x ~20 tiny
+            # transfers per run, and tiny transfers over the tunneled
+            # backend stall for seconds each (measured: the bench's
+            # scoring phase dominated its wall time).
+            host = jax.tree.map(np.asarray, res)
+            energy = host.energy.reshape(n_restarts, lanes)
+            pref = host.compound_pref.reshape(n_restarts, lanes, -1)
+            nmod = host.n_models.reshape(n_restarts, lanes)
             pick = np.array([
                 int(select_restart(energy[:, j], pref[:, j],
                                    self.restart_rule, nmod[:, j]))
                 for j in range(lanes)
             ])
             for j in range(lanes):
-                jj = pick[j] * lanes + j  # device row of the winner
-                one = jax.tree.map(lambda x: np.asarray(x[jj]), res)
+                jj = pick[j] * lanes + j  # winner's device row
+                one = jax.tree.map(lambda x: x[jj], host)
                 _, labels = compact_result(
                     FitResult(*one), self.n_valids[j])
                 mes.setdefault(self.names[self.lane_ids[j]], []).append(

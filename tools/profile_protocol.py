@@ -117,12 +117,34 @@ def main():
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             if "XLA Ops" in e.get("args", {}).get("name", ""):
                 ops_tids.add((e.get("pid"), e.get("tid")))
-    per_op = defaultdict(float)
-    total = 0.0
+    # SELF time per op: container ops (while/conditional bodies) emit
+    # INCLUSIVE durations that cover their children on the same track, so
+    # a plain sum double-counts. Per track, sort by start time and
+    # subtract each event's directly-nested children via a stack sweep.
+    by_track = defaultdict(list)
     for e in events:
         if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) in ops_tids:
-            per_op[e["name"]] += e.get("dur", 0.0)
-            total += e.get("dur", 0.0)
+            by_track[(e["pid"], e["tid"])].append(
+                (e["ts"], e["ts"] + e.get("dur", 0.0), e["name"],
+                 e.get("dur", 0.0)))
+    per_op = defaultdict(float)
+    total = 0.0
+    for evs in by_track.values():
+        evs.sort(key=lambda x: (x[0], -x[1]))
+        stack = []  # (end, name, self_dur_accum_index)
+        selfs = []
+        for ts, te, name, dur in evs:
+            while stack and stack[-1][0] <= ts:
+                stack.pop()
+            if stack:
+                # Subtract this event's full span from its parent's self.
+                selfs[stack[-1][1]][1] -= dur
+            selfs.append([name, dur])
+            stack.append((te, len(selfs) - 1))
+        for name, sd in selfs:
+            sd = max(sd, 0.0)
+            per_op[name] += sd
+            total += sd
     if not per_op:
         raise SystemExit("no XLA Ops events found in the trace")
 
