@@ -33,13 +33,14 @@ import sys
 import time
 
 T0 = time.perf_counter()
-# Self-skip extras well before any external driver timeout: the tunneled
-# compile service's load variance is large (the same cached program
-# measured 53 s and 386 s to load across back-to-back runs), and a
-# driver-side `timeout` SIGTERM would not run `finally` blocks — see the
-# handler below, which converts SIGTERM into SystemExit so the JSON
-# still prints even if the budget estimate loses to service variance.
-BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "600"))
+# Self-skip extras before any external driver timeout. The tunneled
+# compile service's LOAD variance is large (the same cached program
+# measured 53 s and 386 s across back-to-back runs), so the budget is
+# generous rather than tight: a driver-side `timeout` SIGTERM is
+# converted to SystemExit by the handler below, which runs the `finally`
+# and prints the JSON with every field computed so far — the record
+# degrades by at most the synthetic-sweep extras, never to nothing.
+BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "900"))
 
 
 def elapsed():

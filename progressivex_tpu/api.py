@@ -414,6 +414,7 @@ def findHomographies(
     final_relabel=2,
     max_rounds=10,
     pearl_iters=3,
+    split_pass=0,
     progress_callback=None,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
@@ -434,7 +435,11 @@ def findHomographies(
     proposal cap (progressive_x.h:272) and 3 labeling<->refit
     alternations per round. The bench F protocol runs 6/2 (the measured
     throughput knee, eval/adelaide.F_PROTOCOL); these kwargs make that
-    protocol reproducible through the public API."""
+    protocol reproducible through the public API.
+    `split_pass` (extension kwarg, config.split_pass) defaults to 0:
+    final instance-split rounds. The bench H protocol enables 1 round
+    for large scenes (unihouse ME 0.0747 -> 0.0708 measured;
+    eval/adelaide.H_PROTOCOL has the size-gating rationale)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
         raise ValueError("corrs should be an array with dims [n,4], n>=4")
@@ -450,7 +455,7 @@ def findHomographies(
         random_seed=random_seed, with_statistics=with_statistics,
         n_restarts=n_restarts, magsac_levels=magsac_levels,
         final_relabel=final_relabel, max_rounds=max_rounds,
-        pearl_iters=pearl_iters,
+        pearl_iters=pearl_iters, split_pass=split_pass,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)

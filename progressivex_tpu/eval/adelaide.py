@@ -18,6 +18,7 @@ Reference quality anchors (saved notebook outputs, BASELINE.md): mean ME
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import sys
 import time
@@ -70,6 +71,20 @@ H_PROTOCOL = dict(
     # (513.8 vs 516.0) and stays at 4. API defaults keep reference parity
     # (3 alternations); this is a bench-protocol choice like F's.
     pearl_iters=2,
+    # Extension (config.split_pass, gated to LARGE buckets by
+    # split_pass_min_npad — see _prepare_lane_batches): one final
+    # instance-split round for scenes padded to >= 512 points. The big
+    # AdelaideRMF-H scenes are the many-structure ones where merged/
+    # bridged instances are the measured residual error; the v5e A/B on
+    # the 2304 bucket (128 lanes, 3 runs): unihouse ME 0.0747 -> 0.0708
+    # at 472 -> 534.5 ms (-12% bucket throughput; aggregate stays ~327
+    # scenes/s >= the 318 target). Enabling it on the SMALL bucket too
+    # costs 516 -> 458 scenes/s there for quality the protocol does not
+    # need (oldclassicswing is already at 0.009) and drops the aggregate
+    # to ~315 — hence the size gate. split_pass=2 measured no better
+    # than 1 on unihouse (0.0733 vs 0.0708) at another -12% throughput.
+    split_pass=1,
+    split_pass_min_npad=512,
 )
 F_PROTOCOL = dict(
     threshold=0.75, conf=0.5, spatial_coherence_weight=0.5,
@@ -198,8 +213,14 @@ def evaluate_scenes(problem: str, root: str | None = None, seed: int = 0,
     per_scene = {}
     for name in names:
         corrs, gt = load_corr_scene(name, root=scene_root)
+        # Harness-only gating key: apply the same size gate per scene
+        # that the batched harness applies per bucket.
+        scene_kw = dict(kw)
+        min_npad = int(scene_kw.pop("split_pass_min_npad", 0))
+        if min_npad and corrs.shape[0] < min_npad:
+            scene_kw.pop("split_pass", None)
         t0 = time.perf_counter()
-        _, labels = fn(corrs, **kw, random_seed=seed)
+        _, labels = fn(corrs, **scene_kw, random_seed=seed)
         dt = time.perf_counter() - t0
         me = misclassification(labels, gt)
         per_scene[name] = {"me": float(me), "time_s": dt, "n": len(gt)}
@@ -560,6 +581,15 @@ def _prepare_lane_batches(problem, root, seed, lane_target=None,
     lane_batches = []
     for n_pad in sorted(buckets):
         idxs = buckets[n_pad]
+        # Size-gated final split moves (see H_PROTOCOL.split_pass): the
+        # split pass pays off on the big many-structure scenes and costs
+        # ~11% throughput where it is not needed, so buckets below
+        # split_pass_min_npad compile without it.
+        sp = int(kw.get("split_pass", 0))
+        if n_pad < int(kw.get("split_pass_min_npad", 0)):
+            sp = 0
+        bucket_cfg = (cfg if sp == cfg.split_pass
+                      else dataclasses.replace(cfg, split_pass=sp))
         # Target a 64-lane power-of-two batch per bucket: below ~64 lanes
         # the deep while-loop nest is launch-latency-bound and scenes/s
         # scales almost linearly with batch (measured 170 -> 250 scenes/s
@@ -612,7 +642,7 @@ def _prepare_lane_batches(problem, root, seed, lane_target=None,
             if len(idxs) > lanes else [idxs]
         for chunk in chunks:
             lane_batches.append(_LaneBatch(
-                family, cfg, kw, scenes, names, chunk, n_pad, lanes,
+                family, bucket_cfg, kw, scenes, names, chunk, n_pad, lanes,
                 n_restarts, seed, mesh))
     return lane_batches, full
 

@@ -51,7 +51,10 @@ def main():
     scenes = [load_corr_scene(n, root=DEFAULT_ROOT) for n in names]
     corrs = [scenes[i % len(scenes)][0] for i in range(args.lanes)]
     gts = [scenes[i % len(scenes)][1] for i in range(args.lanes)]
-    kw = {k: v for k, v in H_PROTOCOL.items()}
+    # Strip harness-only keys (bucket-size gating lives in the bench
+    # harness; the batched API takes plain per-fit kwargs).
+    kw = {k: v for k, v in H_PROTOCOL.items()
+          if k not in ("split_pass", "split_pass_min_npad")}
     kw["random_seed"] = 0
 
     ref_labs = None
