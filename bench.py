@@ -127,22 +127,37 @@ def run_phases(out):
               neighborhood_ball_radius=20.0, maximum_tanimoto_similarity=0.9,
               max_iters=400, minimum_point_number=6)
     find6DPoses(xy, xyz, K, **kw, random_seed=0)  # warm the program
-    t0 = time.perf_counter()
-    poses, labeling = find6DPoses(xy, xyz, K, **kw, random_seed=1)
-    pose_time = time.perf_counter() - t0
-    k = poses.shape[0] // 3
-    errs = pose_errors([poses[3 * i:3 * i + 3] for i in range(k)], gt_poses)
-    rot_errs = [round(float(r), 3) for r, _ in errs]
-    tr_errs = [round(float(t), 3) for _, t in errs]
+    # 3 seeds: a randomized multi-instance fit's per-seed errors spread
+    # (measured 5.7-9.4 deg on pose-0); the mean is the fair comparison
+    # against the reference's single recorded run, and the per-seed
+    # values are reported alongside so nothing hides in the average.
+    per_seed = []
+    pose_time = None
+    for seed in (1, 2, 3):
+        t0 = time.perf_counter()
+        poses, labeling = find6DPoses(xy, xyz, K, **kw, random_seed=seed)
+        pose_time = pose_time or (time.perf_counter() - t0)
+        k = poses.shape[0] // 3
+        per_seed.append(pose_errors(
+            [poses[3 * i:3 * i + 3] for i in range(k)], gt_poses))
+    a = np.array(per_seed)  # [seed, gt_pose, (rot, tr)]
+    rot_errs = [round(float(v), 3) for v in a[:, :, 0].mean(0)]
+    tr_errs = [round(float(v), 3) for v in a[:, :, 1].mean(0)]
     print(
-        f"T-LESS 6D pose: {k} instances in {pose_time:.3f}s, "
-        f"rot errs {rot_errs} deg (ref 8.25/0.95), "
-        f"transl errs {tr_errs} mm (ref 24.0/12.2)",
+        f"T-LESS 6D pose (mean of seeds 1-3): rot errs {rot_errs} deg "
+        f"(ref 8.25/0.95), transl errs {tr_errs} mm (ref 24.0/12.2), "
+        f"{pose_time:.3f}s/run; per-seed rot "
+        f"{[[round(float(r), 2) for r, _ in s] for s in per_seed]}",
         file=sys.stderr,
     )
     out.update({
         "tless_rotation_errors_deg": rot_errs,
         "tless_translation_errors_mm": tr_errs,
+        "tless_rotation_errors_per_seed":
+            [[round(float(r), 3) for r, _ in s] for s in per_seed],
+        "tless_translation_errors_per_seed":
+            [[round(float(t), 3) for _, t in s] for s in per_seed],
+        "tless_n_seeds": 3,
         "tless_ref_rotation_errors_deg": [8.25, 0.95],
         "tless_ref_translation_errors_mm": [24.0, 12.2],
         "tless_time_s": round(pose_time, 3),

@@ -125,6 +125,7 @@ def _run_batched(
     lo_spatial_lambda=0.5,
     max_rounds=10,
     pearl_iters=3,
+    split_pass=0,
     do_logging=False,
     mesh=None,
     n_devices=None,
@@ -150,6 +151,7 @@ def _run_batched(
         restart_rule=str(restart_rule),
         max_rounds=int(max_rounds),
         pearl_iters=int(pearl_iters),
+        split_pass=int(split_pass),
     )
     params = make_params(
         threshold=float(th_vec[0]),  # replaced per row inside the program
@@ -269,6 +271,7 @@ def findHomographiesBatched(
     final_relabel=2,
     max_rounds=10,
     pearl_iters=3,
+    split_pass=0,
     mesh=None,
     n_devices=None,
 ):
@@ -295,6 +298,7 @@ def findHomographiesBatched(
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
         max_rounds=max_rounds, pearl_iters=pearl_iters,
+        split_pass=split_pass,
         mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
@@ -320,6 +324,7 @@ def findTwoViewMotionsBatched(
     restart_rule="energy+5k",
     max_rounds=10,
     pearl_iters=3,
+    split_pass=0,
     mesh=None,
     n_devices=None,
 ):
@@ -346,7 +351,8 @@ def findTwoViewMotionsBatched(
         random_seed=random_seed, n_restarts=n_restarts,
         magsac_levels=magsac_levels, final_relabel=final_relabel,
         restart_rule=restart_rule, max_rounds=max_rounds,
-        pearl_iters=pearl_iters, mesh=mesh, n_devices=n_devices,
+        pearl_iters=pearl_iters, split_pass=split_pass,
+        mesh=mesh, n_devices=n_devices,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 

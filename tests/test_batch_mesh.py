@@ -6,7 +6,18 @@ _compiled_fit_rows). Sharding must not change results: every row runs the
 same per-row computation with the same key, so descriptors and labelings
 must match the unsharded run exactly (same dtype, same reduction order
 within a row). Runs on the virtual 8-device CPU mesh from conftest.
+
+The two parity tests execute in a FRESH SUBPROCESS: XLA:CPU reproducibly
+segfaults inside backend_compile_and_load when the shard_map program
+compiles after the ~19 preceding tests' programs in one long session
+(observed at the default and at a 512 MB stack limit; the identical test
+passes alone every time) — an upstream compiler-state bug this harness
+cannot fix, so the tests isolate themselves instead of depending on
+collection order.
 """
+
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -15,8 +26,34 @@ pytestmark = pytest.mark.slow
 
 from progressivex_tpu.api_batch import (  # noqa: E402
     findHomographiesBatched,
-    findTwoViewMotionsBatched,
 )
+
+
+_SUBPROCESS_PRELUDE = """
+import os, sys
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, %r)
+from tests.test_batch_mesh import _scenes, KW
+"""
+
+
+def _run_in_subprocess(body: str):
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = (_SUBPROCESS_PRELUDE % repo) + body
+    p = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, cwd=repo)
+    assert p.returncode == 0, (
+        f"subprocess parity check failed (rc={p.returncode}):\n"
+        f"{p.stdout[-2000:]}\n{p.stderr[-2000:]}")
 
 
 def _scenes(n_scenes=3, n=160, seed=0):
@@ -48,23 +85,31 @@ KW = dict(threshold=3.0, conf=0.9, spatial_coherence_weight=0.1,
 
 
 def test_homographies_mesh_parity():
-    scenes = _scenes()
-    ref = findHomographiesBatched(scenes, **KW)
-    got = findHomographiesBatched(scenes, **KW, n_devices=8)
-    for (d0, l0), (d1, l1) in zip(ref, got):
-        np.testing.assert_array_equal(l0, l1)
-        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-6)
+    _run_in_subprocess("""
+from progressivex_tpu.api_batch import findHomographiesBatched
+scenes = _scenes()
+ref = findHomographiesBatched(scenes, **KW)
+got = findHomographiesBatched(scenes, **KW, n_devices=8)
+for (d0, l0), (d1, l1) in zip(ref, got):
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-6)
+print("parity OK")
+""")
 
 
 def test_two_view_motions_mesh_parity_with_restarts():
-    scenes = _scenes(n_scenes=2, seed=3)
-    kw = dict(KW, threshold=1.0, n_restarts=2, magsac_levels=2,
-              final_relabel=1)
-    ref = findTwoViewMotionsBatched(scenes, **kw)
-    got = findTwoViewMotionsBatched(scenes, **kw, n_devices=4)
-    for (d0, l0), (d1, l1) in zip(ref, got):
-        np.testing.assert_array_equal(l0, l1)
-        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-6)
+    _run_in_subprocess("""
+from progressivex_tpu.api_batch import findTwoViewMotionsBatched
+scenes = _scenes(n_scenes=2, seed=3)
+kw = dict(KW, threshold=1.0, n_restarts=2, magsac_levels=2,
+          final_relabel=1)
+ref = findTwoViewMotionsBatched(scenes, **kw)
+got = findTwoViewMotionsBatched(scenes, **kw, n_devices=4)
+for (d0, l0), (d1, l1) in zip(ref, got):
+    np.testing.assert_array_equal(l0, l1)
+    np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-6)
+print("parity OK")
+""")
 
 
 def test_mesh_rejects_missing_scenes_axis():
