@@ -147,15 +147,17 @@ def _hyp_budget(max_iters: int, max_solutions: int = 1,
 # and every no-new-structure confirmation round burns the entire budget
 # by construction (k* of a small candidate structure exceeds any
 # affordable count) with a vmapped batch paying the slowest lane.
-# Users who want the literal requested depth set PROGX_MAX_SUBBATCHES;
-# the adaptive k* machinery honors it (engine._proposal).
+# Users who want the literal requested depth pass `max_subbatches=` on
+# findHomographies / findTwoViewMotions (or set PROGX_MAX_SUBBATCHES to
+# change the default for every front end); the adaptive k* machinery
+# honors it (engine._proposal).
 _MAX_SUBBATCHES = int(__import__("os").environ.get(
     "PROGX_MAX_SUBBATCHES", "1"))
 
 
-def _n_subbatches(max_iters: int, n_hyp: int) -> int:
-    return int(min(max(-(-int(max_iters) // max(n_hyp, 1)), 1),
-                   _MAX_SUBBATCHES))
+def _n_subbatches(max_iters: int, n_hyp: int, cap: int | None = None) -> int:
+    cap = _MAX_SUBBATCHES if cap is None else int(cap)
+    return int(min(max(-(-int(max_iters) // max(n_hyp, 1)), 1), max(cap, 1)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -199,6 +201,7 @@ def _run(
     restart_rule="energy",
     max_rounds=10,
     pearl_iters=3,
+    max_subbatches=None,
     progress_callback=None,
 ):
     t0 = time.perf_counter()
@@ -224,7 +227,7 @@ def _run(
     cfg = EngineConfig(
         family=family_name,
         n_hypotheses=n_hyp,
-        n_subbatches=_n_subbatches(max_iters, n_hyp),
+        n_subbatches=_n_subbatches(max_iters, n_hyp, max_subbatches),
         sampler_id=int(sampler_id),
         lo_spatial_lambda=lo_spatial_lambda,
         n_restarts=int(n_restarts),
@@ -415,6 +418,7 @@ def findHomographies(
     max_rounds=10,
     pearl_iters=3,
     split_pass=0,
+    max_subbatches=None,
     progress_callback=None,
 ):
     """Multi-homography fitting. corrs: [N,4] = [x1,y1,x2,y2].
@@ -439,7 +443,13 @@ def findHomographies(
     `split_pass` (extension kwarg, config.split_pass) defaults to 0:
     final instance-split rounds. The bench H protocol enables 1 round
     for large scenes (unihouse ME 0.0747 -> 0.0708 measured;
-    eval/adelaide.H_PROTOCOL has the size-gating rationale)."""
+    eval/adelaide.H_PROTOCOL has the size-gating rationale).
+    `max_subbatches` (extension kwarg) caps the adaptive proposal
+    sub-batches per round; None = the measured-optimal default 1 (see
+    api._MAX_SUBBATCHES — deeper pools measured WORSE on quality AND
+    clock). Pass e.g. ceil(max_iters/256) to honor the literal
+    reference semantics of max_iters (progressivex_python.cpp:271):
+    the k* confidence stop then draws up to that many sub-batches."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 4:
         raise ValueError("corrs should be an array with dims [n,4], n>=4")
@@ -456,6 +466,7 @@ def findHomographies(
         n_restarts=n_restarts, magsac_levels=magsac_levels,
         final_relabel=final_relabel, max_rounds=max_rounds,
         pearl_iters=pearl_iters, split_pass=split_pass,
+        max_subbatches=max_subbatches,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
@@ -488,6 +499,7 @@ def findTwoViewMotions(
     max_rounds=10,
     pearl_iters=3,
     split_pass=0,
+    max_subbatches=None,
     progress_callback=None,
 ):
     """Multi two-view-motion (fundamental matrix) fitting. corrs: [N,4].
@@ -519,8 +531,8 @@ def findTwoViewMotions(
     (tools/f_diagnose.py): cubetoy picked-mean ME 0.0769 -> 0.0375,
     book/breadcube unchanged. "energy" restores the objective-only
     policy; "agreement" (peer-agreement rank blend) measured WORSE
-    on-device (0.0394 vs 0.0246) and is kept only as a record (see
-    engine.select_restart).
+    on-device (0.0394 vs 0.0246) and was retired to a documented
+    negative result (docs/DESIGN_NOTES.md).
     `max_rounds` / `pearl_iters` (extension kwargs) default to reference
     parity (10 rounds, progressive_x.h:272; 3 alternations). The bench F
     protocol runs 6/2 — the measured throughput knee (45.6 -> 77.7
@@ -530,7 +542,14 @@ def findTwoViewMotions(
     rounds of final instance-SPLIT moves (core/pearl.split_instances),
     the move that dissolves "bridge" instances genuinely spanning two
     structures. The essential front end defaults it ON (its gauntlet's
-    measured failure mode is a bridge); for F it is opt-in."""
+    measured failure mode is a bridge); for F it is opt-in.
+    `max_subbatches` (extension kwarg) caps the adaptive proposal
+    sub-batches per round; None = the measured-optimal default 1 (see
+    api._MAX_SUBBATCHES — the deeper pools the F protocol nominally
+    requests measured strictly WORSE: 1/4/20 sub-batches = ME
+    0.0245/0.0297/0.0350 at 674/1464/5776 ms). Pass e.g.
+    ceil(max_iters/512) to honor the literal reference semantics of
+    max_iters (progressivex_python.cpp:271)."""
     corrs = np.asarray(corrs, np.float64)
     if corrs.ndim != 2 or corrs.shape[1] != 4 or corrs.shape[0] < 7:
         raise ValueError("corrs should be an array with dims [n,4], n>=7")
@@ -547,7 +566,7 @@ def findTwoViewMotions(
         n_restarts=n_restarts, magsac_levels=magsac_levels,
         final_relabel=final_relabel, restart_rule=restart_rule,
         max_rounds=max_rounds, pearl_iters=pearl_iters,
-        split_pass=split_pass,
+        split_pass=split_pass, max_subbatches=max_subbatches,
         progress_callback=progress_callback,
     )
     out = descs.reshape(-1, 3).astype(np.float64)
@@ -757,26 +776,43 @@ def _fuse_pose_duplicates(descs, labels, norm_xy, xyz, thr_norm,
         return float(np.mean(r < tight))
 
     sizes = np.array([(labels == i).sum() for i in range(K)], np.float64)
-    parent = list(range(K))
 
-    def find(a):
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
+    # Greedy grouping against each group's RUNNING support-weighted mean
+    # pose, largest support first — not union-find, whose transitive
+    # chains can fuse poses A and C that are each within the gates of B
+    # but ~2x the rotation gate apart from each other; the chordal mean
+    # then represents neither fragment. Gating every candidate against
+    # the aggregate it would join bounds every member's distance to the
+    # final fused pose by the gates themselves.
+    def _chordal_mean(members):
+        w = sizes[members]
+        w = w / max(w.sum(), 1.0)
+        M = np.einsum("m,mij->ij", w, Rs[members])
+        U, _, Vt = np.linalg.svd(M)
+        return U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
 
-    for i in range(K):
-        for j in range(i + 1, K):
-            if np.linalg.norm(ts[i] - ts[j]) >= radius:
+    order = sorted(range(K), key=lambda i: -sizes[i])
+    group_members: list[list[int]] = []
+    for i in order:
+        joined = False
+        for members in group_members:
+            Rm = _chordal_mean(members)
+            w = sizes[members]
+            tm = (w[:, None] * ts[members]).sum(0) / max(w.sum(), 1.0)
+            if np.linalg.norm(ts[i] - tm) >= radius:
                 continue
-            cos_ang = 0.5 * (np.trace(Rs[i].T @ Rs[j]) - 1.0)
+            cos_ang = 0.5 * (np.trace(Rm.T @ Rs[i]) - 1.0)
             if cos_ang < cos_gate:
                 continue
-            parent[find(j)] = find(i)
+            members.append(i)
+            joined = True
+            break
+        if not joined:
+            group_members.append([i])
 
-    groups: dict[int, list[int]] = {}
-    for i in range(K):
-        groups.setdefault(find(i), []).append(i)
+    # Preserve the original instance ordering of the output: key each
+    # group by its smallest original index, like the union-find roots did.
+    groups = {min(m): sorted(m) for m in group_members}
     reps = sorted(groups)
     new_descs = []
     remap = np.full(K + 1, len(reps), np.int32)  # outlier K -> new K'
@@ -785,11 +821,7 @@ def _fuse_pose_duplicates(descs, labels, norm_xy, xyz, thr_norm,
         if len(members) == 1:
             Pf = P[rep]
         else:
-            w = sizes[members]
-            w = w / max(w.sum(), 1.0)
-            M = np.einsum("m,mij->ij", w, Rs[members])
-            U, _, Vt = np.linalg.svd(M)
-            Rf = U @ np.diag([1.0, 1.0, np.linalg.det(U @ Vt)]) @ Vt
+            Rf = _chordal_mean(members)
             tf = ts[max(members, key=tight_density)]
             Pf = np.concatenate([Rf, tf[:, None]], axis=1)
         new_descs.append(Pf.reshape(12))

@@ -102,9 +102,12 @@ class EngineConfig:
     polish_research: int = 0  # minimal samples per instance for a final
     # TIGHT-THRESHOLD LOCAL RE-SEARCH (engine._polish_research): draw this
     # many minimal samples inside each final instance's support, score
-    # candidates by inlier count at threshold/2 WITHIN the support, GN-
-    # polish the winner at the tight scale, and replace the instance's
-    # descriptor iff its tight-inlier count beats the current one's.
+    # candidates by their GLOBAL inlier count at threshold/2 (over all
+    # valid points, not just the instance's support — a contaminated
+    # structure's true inliers are typically split across instances, see
+    # engine.tight_global), GN-polish the winner at the tight scale, and
+    # replace the instance's descriptor iff its global tight-inlier count
+    # beats the current one's by the acceptance margin.
     # Targets diffuse near-threshold contamination (T-LESS: the winning
     # pose's support is ~30% true object points in a tight <1.5 px core
     # plus ~70% scene clutter spread over 2-6 px; the loose-threshold
@@ -169,15 +172,9 @@ class EngineConfig:
     # "energy+5k", the findTwoViewMotions default) = argmin of energy +
     # L * n_models, a selection-time label cost that suppresses
     # catastrophic split/collapse basins whose energy is within a few
-    # units of the good one (engine.select_restart has the measurement);
-    # "agreement" = argmin of (energy rank + peer-agreement rank),
-    # agreement being the restart's summed Tanimoto similarity to the
-    # other restarts' compound preferences (engine.select_restart).
-    # "agreement" beat "energy" on CPU-generated 48-run pools (mean ME
-    # 0.0192 vs 0.0205) but LOST the on-device protocol A/B at 32 lanes x
-    # 5 restarts (0.0394 vs 0.0246, same compiled program): catastrophic
-    # F basins recur across restarts and agree with each other, and on
-    # device they recur often enough to win the agreement rank.
+    # units of the good one (engine.select_restart has the measurement).
+    # A third rule, "agreement", was measured worse on device and retired
+    # to a documented negative result: docs/DESIGN_NOTES.md.
     n_subbatches: int = 1  # proposal sub-batches per round: the round's
     # search draws up to n_subbatches * n_hypotheses minimal samples,
     # stopping adaptively once the samples drawn exceed the RANSAC

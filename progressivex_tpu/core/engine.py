@@ -141,8 +141,8 @@ class FitResult(NamedTuple):
     round_log: RoundLog
     compound_pref: jnp.ndarray  # [N] compound preference of the FINAL
     # descriptors (max over active instances of the truncated preference;
-    # progx_model.h:70-87) — a label-permutation-free run signature used
-    # by the "agreement" restart rule (see config.restart_rule)
+    # progx_model.h:70-87) — a label-permutation-free run signature,
+    # exposed for diagnostics (tools/f_diagnose.py)
 
 
 def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
@@ -633,21 +633,11 @@ def select_restart(energy, compound_pref, rule: str, n_models=None):
     energy+5k, oracle 0.0269), catastrophic picks 9/96 -> 1/96; book and
     breadcube unchanged. L in [5, 8] is a plateau; 5 is the shipped
     default for the F protocol.
-    "agreement": argmin of (energy rank + peer-agreement rank), where a
-    restart's agreement is the sum of Tanimoto similarities between its
-    compound preference and every other restart's — the idea being that
-    a bad local optimum is an OUTLIER among its peers even when its
-    energy is competitive.
-
-    Measurement (AdelaideRMF-F bundled scenes): the rank blend won on
-    CPU-generated 48-run pools (mean ME 0.0192 vs 0.0205 for
-    energy-only, oracle best-of-5 0.0146) but LOST the on-device
-    protocol A/B at 32 lanes x 5 restarts with the same compiled
-    program (0.0394 vs 0.0246): the catastrophic basins recur across
-    on-device restarts often enough to agree with each other and win
-    the agreement rank, flipping the sign of the effect. (A labeling
-    co-clustering medoid fails the same way: 0.0697 on the cubetoy
-    diagnostic, tools/selector_sim.py.) Works on jnp or np inputs.
+    A third rule, "agreement" (energy rank + peer-agreement rank over
+    Tanimoto similarities between restarts' compound preferences), was
+    implemented, measured, and RETIRED: it lost the on-device protocol
+    A/B (0.0394 vs 0.0246 mean ME). The full negative result lives in
+    docs/DESIGN_NOTES.md. Works on jnp or np inputs.
     """
     if rule == "energy" or energy.shape[0] == 1:
         return jnp.argmin(energy)
@@ -658,18 +648,9 @@ def select_restart(energy, compound_pref, rule: str, n_models=None):
         lam = float(m.group(1))
         return jnp.argmin(jnp.asarray(energy)
                           + lam * jnp.asarray(n_models, jnp.float32))
-    if rule != "agreement":
-        raise ValueError(f"unknown restart_rule {rule!r}")
-    p = jnp.asarray(compound_pref, jnp.float32)
-    g = p @ p.T  # [R, R] dot products
-    sq = jnp.diagonal(g)
-    tan = g / jnp.maximum(sq[:, None] + sq[None, :] - g, 1e-9)
-    agree = jnp.sum(tan, axis=1) - jnp.diagonal(tan)
-    rank_e = jnp.sum(energy[:, None] > energy[None, :], axis=1)
-    rank_a = jnp.sum(agree[:, None] < agree[None, :], axis=1)
-    n_r = energy.shape[0]
-    # Integer blend with an energy-rank tie-break.
-    return jnp.argmin((rank_e + rank_a) * (n_r + 1) + rank_e)
+    raise ValueError(f"unknown restart_rule {rule!r} "
+                     "(expected 'energy' or 'energy+<L>k'; 'agreement' "
+                     "was retired — see docs/DESIGN_NOTES.md)")
 
 
 def _final_polish(family, cfg, params, data, pmask, pweights, descs, active,
@@ -749,14 +730,25 @@ def _polish_research(family, cfg, params, data, pmask, pweights, descs,
     t2 = tight * tight
     trunc_tight = 2.25 * t2
 
+    # S deterministic pseudo-random permutations of the point positions
+    # (Knuth multiplicative hash per sample, argsorted — an odd multiplier
+    # mod 2^32 is a bijection, so each row is a permutation and distinct
+    # rows are independent). The previous linear stride i*7 collapsed to
+    # near-identical samples whenever npart divided 7*di for di < S (e.g.
+    # npart = 7 or 14), silently wasting most of the re-search budget —
+    # the same degeneracy class fixed in pearl.split_instances. Hash keys
+    # have no alignment with any npart. Independent of the instance, so
+    # hoisted out of the vmap below.
+    pos = jnp.arange(data.shape[0], dtype=jnp.uint32)
+    mult = jnp.arange(S, dtype=jnp.uint32) * 2 + jnp.uint32(2654435761)
+    s_pos = jnp.argsort((pos[None, :] + 1) * mult[:, None], axis=1)[:, :m]
+
     def one_instance(desc, act, k):
         part = (labels == k) & pmask
         npart = jnp.sum(part)
         order = jnp.argsort(jnp.where(part, 0, 1), stable=True)
-        s_ix = (jnp.arange(S)[:, None] * 7
-                + (jnp.arange(m)[None, :] * npart) // m
-                ) % jnp.maximum(npart, 1)
-        samp = data[order[s_ix]]  # [S, m, d]
+        s_ix = s_pos % jnp.maximum(npart, 1).astype(jnp.uint32)
+        samp = data[order[s_ix.astype(jnp.int32)]]  # [S, m, d]
         if family.minimal_solver_batched is not None:
             dh, vh = family.minimal_solver_batched(samp)
         else:

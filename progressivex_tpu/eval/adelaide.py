@@ -213,11 +213,12 @@ def evaluate_scenes(problem: str, root: str | None = None, seed: int = 0,
     per_scene = {}
     for name in names:
         corrs, gt = load_corr_scene(name, root=scene_root)
-        # Harness-only gating key: apply the same size gate per scene
-        # that the batched harness applies per bucket.
+        # Harness-only gating key: the batched harness gates split_pass on
+        # the PADDED bucket size, so gate on the same quantity here — a
+        # 400-point scene pads to 512 and must run split_pass in both paths.
         scene_kw = dict(kw)
         min_npad = int(scene_kw.pop("split_pass_min_npad", 0))
-        if min_npad and corrs.shape[0] < min_npad:
+        if min_npad and _bucket_size(corrs.shape[0]) < min_npad:
             scene_kw.pop("split_pass", None)
         t0 = time.perf_counter()
         _, labels = fn(corrs, **scene_kw, random_seed=seed)

@@ -246,7 +246,10 @@ def match_descriptors(d1: np.ndarray, d2: np.ndarray,
 
     The BFMatcher().knnMatch(k=2) + 0.8-ratio stage of the reference
     notebook, vectorized. Returns [M, 2] (index-in-d1, index-in-d2)."""
-    if len(d1) == 0 or len(d2) == 0:
+    # The ratio test needs two distinct neighbors in d2; with fewer than
+    # two descriptors on either side the [:, :2] slice below would come up
+    # short and nn[:, 1] would raise, so bail out to an empty match set.
+    if len(d1) == 0 or len(d2) < 2:
         return np.zeros((0, 2), np.int64)
     # Squared L2 via the dot-product identity (descriptors unit-norm).
     d = 2.0 - 2.0 * (d1 @ d2.T)
