@@ -70,7 +70,12 @@ class Statistics:
     algorithmic quantities (proposal support/tanimoto/score, PEARL energy,
     live instance count). The reference's per-phase wall-clock fields have
     no analog inside a single fused XLA program — phases overlap and fuse —
-    so device-time attribution is delegated to `jax.profiler` instead.
+    but passing `with_statistics="phases"` additionally runs the compiled
+    program ONCE under jax.profiler and fills `phase_times` with the
+    device-time rollup by engine phase tag (proposal / sampling / graph /
+    labeling / refit / other; see io/profiling.py for the attribution
+    caveats). `phase_times` stays None with plain `with_statistics=True`
+    or when the backend yields no profiler trace.
     """
 
     processing_time: float
@@ -80,6 +85,7 @@ class Statistics:
     labeling: "np.ndarray"
     inliers_of_each_model: list
     iterations: list = dataclasses.field(default_factory=list)
+    phase_times: dict | None = None
 
 
 # Point counts pad up to one of these levels (~x1.5 apart, multiples of
@@ -294,6 +300,16 @@ def _run(
             }
             for r in range(int(result.rounds_run))
         ]
+        phase_times = None
+        if isinstance(with_statistics, str) and "phase" in with_statistics:
+            from progressivex_tpu.io.profiling import measure_phase_times
+
+            args = (jnp.asarray(data_p), jnp.asarray(mask), jnp.asarray(w),
+                    key, params,
+                    jnp.asarray(graph_p) if graph_p is not None
+                    else jnp.zeros_like(data_p))
+            phase_times = measure_phase_times(
+                lambda: jax.block_until_ready(fit_fn(*args)))
         stats = Statistics(
             processing_time=processing_time,
             rounds_run=int(result.rounds_run),
@@ -304,6 +320,7 @@ def _run(
                 np.flatnonzero(labels == i) for i in range(k)
             ],
             iterations=iterations,
+            phase_times=phase_times,
         )
     return descs, labels, stats
 

@@ -397,10 +397,14 @@ def _round(family, cfg, params, data, pmask, pweights, idx, samp_ok,
     has_compound = jnp.any(state.active)
 
     # --- proposal (GC-RANSAC replacement) ---
-    desc, score, prop_valid, r2_best, samples_drawn = _proposal(
-        family, cfg, params, data, pmask, pweights, idx, samp_ok,
-        idx_ext, ok_ext, adj, state.compound_pref, has_compound,
-    )
+    # named_scope: phase tags flow into HLO op metadata, letting the
+    # profiler-based Statistics.phase_times attribute device time to
+    # proposal vs labeling vs refit (io/profiling.py).
+    with jax.named_scope("progx_proposal"):
+        desc, score, prop_valid, r2_best, samples_drawn = _proposal(
+            family, cfg, params, data, pmask, pweights, idx, samp_ok,
+            idx_ext, ok_ext, adj, state.compound_pref, has_compound,
+        )
 
     # --- validation (progressive_x.h:565-591) ---
     pref_p = truncated_preference(r2_best, trunc_sq) * pmask
@@ -447,10 +451,11 @@ def _round(family, cfg, params, data, pmask, pweights, idx, samp_ok,
     labels_single = jnp.where(
         (r2_best < trunc_sq) & pmask, slot.astype(jnp.int32), outlier_label
     )
-    pres = pearl_run(
-        family, cfg, params, data, pmask, pweights, descs, active,
-        state.labels, adj,
-    )
+    with jax.named_scope("progx_pearl"):
+        pres = pearl_run(
+            family, cfg, params, data, pmask, pweights, descs, active,
+            state.labels, adj,
+        )
     use_pearl = accepted & (n_active > 1)
     # Energy bookkeeping: only the energy of a KEPT state is recorded —
     # a rejected round rolls its PEARL state back, so logging pres.energy
@@ -552,25 +557,27 @@ def fit(
     # the labeling (Potts) graph, the full sampler_k columns the NAPSAC
     # sampling neighborhood (see config.py for why they differ).
     k_all = max(cfg.knn_k, cfg.sampler_k)
-    if cfg.neighborhood == "grid":
-        from progressivex_tpu.ops.knn import grid_graph
+    with jax.named_scope("progx_graph"):
+        if cfg.neighborhood == "grid":
+            from progressivex_tpu.ops.knn import grid_graph
 
-        samp_idx, samp_mask = grid_graph(
-            gd, point_mask, params.neighborhood_radius, k_all
-        )
-    else:
-        samp_idx, samp_mask = knn_graph(
-            gd, point_mask, params.neighborhood_radius, k_all
-        )
-    knn_idx, knn_mask = samp_idx[:, : cfg.knn_k], samp_mask[:, : cfg.knn_k]
-    # One-hot adjacency: built once per fit, reused by every ICM sweep of
-    # every PEARL call as an MXU matmul operand (ops/labeling.py hardware
-    # note) — block-banded over the sorted order when potts_band > 0, dense
-    # [N, N] otherwise.
-    if use_band:
-        adj = adjacency_banded(knn_idx, knn_mask, cfg.potts_band)
-    else:
-        adj = adjacency_from_knn(knn_idx, knn_mask)
+            samp_idx, samp_mask = grid_graph(
+                gd, point_mask, params.neighborhood_radius, k_all
+            )
+        else:
+            samp_idx, samp_mask = knn_graph(
+                gd, point_mask, params.neighborhood_radius, k_all
+            )
+        knn_idx, knn_mask = (samp_idx[:, : cfg.knn_k],
+                             samp_mask[:, : cfg.knn_k])
+        # One-hot adjacency: built once per fit, reused by every ICM sweep
+        # of every PEARL call as an MXU matmul operand (ops/labeling.py
+        # hardware note) — block-banded over the sorted order when
+        # potts_band > 0, dense [N, N] otherwise.
+        if use_band:
+            adj = adjacency_banded(knn_idx, knn_mask, cfg.potts_band)
+        else:
+            adj = adjacency_from_knn(knn_idx, knn_mask)
 
     if cfg.n_restarts > 1:
         # Independent restarts share the (key-independent) neighborhood
@@ -838,12 +845,13 @@ def _fit_prepared(family, cfg, params, data, point_mask, point_weights, key,
         # own batch (decorrelated key); the winner reduces in _proposal.
         key = jax.random.fold_in(key, lax.axis_index(cfg.hyp_axis))
     round_keys = jax.random.split(key, cfg.max_rounds)
-    idx_all, ok_all = jax.vmap(
-        lambda k: sample_minimal(
-            k, cfg.sampler_id, cfg.n_hypotheses, family.sample_size,
-            point_mask, params.n_valid, samp_idx, samp_mask,
-        )
-    )(round_keys)  # [R, B, m], [R, B]
+    with jax.named_scope("progx_sampling"):
+        idx_all, ok_all = jax.vmap(
+            lambda k: sample_minimal(
+                k, cfg.sampler_id, cfg.n_hypotheses, family.sample_size,
+                point_mask, params.n_valid, samp_idx, samp_mask,
+            )
+        )(round_keys)  # [R, B, m], [R, B]
     # Extension sub-batches for the adaptive in-round search
     # (cfg.n_subbatches > 1, see _proposal): drawn once and SHARED across
     # rounds — a round only reads them while no k*-satisfying model has

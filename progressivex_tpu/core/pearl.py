@@ -85,17 +85,21 @@ def pearl_run(
         # cache, PEARL.h:39,52-53,111-118).
 
         # --- 1. labeling ---
-        dcost = labeling_ops.data_costs(r2, active, point_mask, w, trunc_sq)
-        # Initialize from the per-point data argmin rather than the previous
-        # labeling: parallel ICM cannot flip a whole cluster over the Potts
-        # barrier the way an expansion move (global min-cut) can, so a warm
-        # start would freeze newly added instances out of the labeling.
-        # The argmin start hands each instance its data-supported points and
-        # the sweeps then enforce spatial coherence at the boundaries.
-        init = jnp.argmin(dcost, axis=0).astype(jnp.int32)
-        labels, energy = labeling_ops.icm_sweeps(
-            dcost, init, adj, w, cfg.icm_sweeps, unroll=cfg.unroll_icm
-        )
+        # (named_scope: phase tag for Statistics.phase_times attribution)
+        with jax.named_scope("progx_labeling"):
+            dcost = labeling_ops.data_costs(
+                r2, active, point_mask, w, trunc_sq)
+            # Initialize from the per-point data argmin rather than the
+            # previous labeling: parallel ICM cannot flip a whole cluster
+            # over the Potts barrier the way an expansion move (global
+            # min-cut) can, so a warm start would freeze newly added
+            # instances out of the labeling. The argmin start hands each
+            # instance its data-supported points and the sweeps then
+            # enforce spatial coherence at the boundaries.
+            init = jnp.argmin(dcost, axis=0).astype(jnp.int32)
+            labels, energy = labeling_ops.icm_sweeps(
+                dcost, init, adj, w, cfg.icm_sweeps, unroll=cfg.unroll_icm
+            )
 
         # --- 2. per-instance refit (vmapped over slots) ---
         onehot = (labels[:, None] == jnp.arange(k_slots)[None, :]) & point_mask[
@@ -121,10 +125,11 @@ def pearl_run(
         # want different weightings.
         pref_w = jnp.maximum(0.0, 1.0 - r2 / trunc_sq)  # [K, N]
         fit_w = onehot.T.astype(data.dtype) * point_weights[None, :]  # [K, N]
-        new_descs, fit_ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
-            data, fit_w * pref_w, descs
-        )
-        r2_mid = residual_matrix(new_descs)
+        with jax.named_scope("progx_refit"):
+            new_descs, fit_ok = jax.vmap(family.refit, in_axes=(None, 0, 0))(
+                data, fit_w * pref_w, descs
+            )
+            r2_mid = residual_matrix(new_descs)
         # Refit acceptance on TRUNCATED residuals: an instance can hold
         # spatially-coherent junk members whose huge residuals dominate an
         # untruncated sum and veto refits that improve the data-supported
@@ -145,10 +150,11 @@ def pearl_run(
         # the PREFERENCE weights change (unihouse mean ME 0.21 -> 0.17
         # with the second pass). Cost is ~10% of a large-scene fit.
         pref_mid = jnp.maximum(0.0, 1.0 - r2_mid / trunc_sq)
-        descs2, ok2 = jax.vmap(family.refit, in_axes=(None, 0, 0))(
-            data, fit_w * pref_mid, new_descs
-        )
-        r2_two = residual_matrix(descs2)
+        with jax.named_scope("progx_refit"):
+            descs2, ok2 = jax.vmap(family.refit, in_axes=(None, 0, 0))(
+                data, fit_w * pref_mid, new_descs
+            )
+            r2_two = residual_matrix(descs2)
         res_two = jnp.where(fit_ok & ok2, trunc_sum(r2_two), jnp.inf)
         # Best of the two IRLS iterates (the second is usually tighter
         # but not monotonically so).

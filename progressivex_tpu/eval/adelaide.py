@@ -285,15 +285,16 @@ class ThroughputResult(NamedTuple):
     buckets: tuple  # per-bucket dicts: n_pad, lanes, n_restarts, best_s
 
 
-# In-process registry of jitted bench programs, keyed by everything that
+# In-process registry of bench programs, keyed by everything that
 # shapes the traced computation: (family, EngineConfig, n_pad, device
 # rows, runtime-params values, mesh shape). Two _LaneBatch instances with
-# the same key get the SAME jit callable, so jax serves the second from
-# its in-process executable cache — without this, every phase that
-# rebuilt a batch (the synthetic full-cardinality sweep) re-traced a
-# fresh lambda and re-loaded the multi-MB executable from the persistent
-# cache (~50 s per program on the tunneled backend; measured 98.7 s of
-# pure re-loading in the round-4 bench's synthetic H phase).
+# the same key get the SAME jit callable AND the same AOT-compiled
+# executable, so jax serves the second instantly — without this, every
+# phase that rebuilt a batch (the synthetic full-cardinality sweep)
+# re-traced a fresh lambda and re-loaded the multi-MB executable from the
+# persistent cache (~50 s per program on the tunneled backend; measured
+# 98.7 s of pure re-loading in the round-4 bench's synthetic H phase).
+# Values are {"jit": wrapped_fn, "compiled": jax.stages.Compiled | None}.
 _RUN_REGISTRY: dict = {}
 
 
@@ -359,15 +360,15 @@ class _LaneBatch:
                    tuple(float(v) for v in params),
                    None if mesh is None else tuple(sorted(
                        mesh.shape.items())))
-        self.run = _RUN_REGISTRY.get(reg_key)
-        if self.run is None:
+        entry = _RUN_REGISTRY.get(reg_key)
+        if entry is None:
             inner = jax.vmap(
                 lambda d, m, w, k, nvi: fit(
                     family, cfg, params._replace(n_valid=nvi), d, m, w, k
                 )
             )
             if mesh is None:
-                self.run = jax.jit(inner)
+                run = jax.jit(inner)
             else:
                 # Scene-axis sharding of the bench batch over a device
                 # mesh (PROGX_BENCH_DEVICES) — pure SPMD, zero
@@ -376,19 +377,48 @@ class _LaneBatch:
                 from jax.sharding import PartitionSpec as P
 
                 spec = P("scenes")
-                self.run = jax.jit(jax.shard_map(
+                run = jax.jit(jax.shard_map(
                     inner, mesh=mesh, in_specs=(spec,) * 5,
                     out_specs=spec, check_vma=False,
                 ))
-            _RUN_REGISTRY[reg_key] = self.run
+            entry = {"jit": run, "compiled": None}
+            _RUN_REGISTRY[reg_key] = entry
+        self._entry = entry
+        self.run = entry["jit"]
 
     def compile(self):
-        """Trigger (and wait for) compilation without timing it as a run."""
+        """AOT-compile the program (persistent-cache-served when warm) and
+        run it once — the warmup run pays any lazy device transfer so the
+        timed runs measure steady state. The jax.stages.Compiled handle
+        also provides XLA's cost analysis (FLOPs / bytes accessed) for the
+        bench's utilization fields."""
         import jax
 
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
-        res = self.run(self.data, self.mask, self.wts, keys, self.nv)
+        if self._entry["compiled"] is None:
+            self._entry["compiled"] = self.run.lower(
+                self.data, self.mask, self.wts, keys, self.nv).compile()
+        self.compiled = self._entry["compiled"]
+        res = self.compiled(self.data, self.mask, self.wts, keys, self.nv)
         np.asarray(res.n_models)
+
+    def cost_analysis(self):
+        """XLA's {flops, bytes accessed} estimate for one batch execution.
+
+        Estimates, not measurements: `lax.while_loop` bodies (the engine's
+        outer proposal rounds) are counted at ONE trip by XLA's analysis,
+        so these are lower bounds; the unrolled ICM/PEARL interiors are
+        counted exactly. Returns {} when unavailable (non-AOT fallback)."""
+        comp = getattr(self, "compiled", None) or self._entry["compiled"]
+        if comp is None:
+            return {}
+        try:
+            ca = comp.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return {"flops": float(ca.get("flops", 0.0)),
+                    "bytes_accessed": float(ca.get("bytes accessed", 0.0))}
+        except Exception:  # noqa: BLE001 — backend without cost analysis
+            return {}
 
     def halved(self):
         """Rebuild this batch at half the lane count (compile fallback).
@@ -410,12 +440,13 @@ class _LaneBatch:
         from progressivex_tpu.core.engine import FitResult, compact_result
 
         lanes, n_restarts = self.lanes, self.n_restarts
+        run = getattr(self, "compiled", None) or self.run
         times = []
         for i in range(n_timing_runs):
             k = jax.random.split(
                 jax.random.PRNGKey(self.seed + i + 1), self.ns)
             t0 = time.perf_counter()
-            res = self.run(self.data, self.mask, self.wts, k, self.nv)
+            res = run(self.data, self.mask, self.wts, k, self.nv)
             np.asarray(res.n_models)  # host fetch = execution barrier
             times.append(time.perf_counter() - t0)
             # Quality from EVERY timing run (each uses fresh keys),
@@ -658,9 +689,10 @@ def _time_batches(problem, lane_batches, n_timing_runs, full, compile_s
         cs, tt = b.time_and_score(problem, n_timing_runs, mes)
         total_scenes += cs
         total_time += tt
-        bucket_info.append({"n_pad": b.n_pad, "lanes": b.lanes,
-                            "n_restarts": b.n_restarts,
-                            "best_s": round(tt, 4)})
+        info = {"n_pad": b.n_pad, "lanes": b.lanes,
+                "n_restarts": b.n_restarts, "best_s": round(tt, 4)}
+        info.update(b.cost_analysis())
+        bucket_info.append(info)
     scenes_per_s = total_scenes / total_time
     for name_, v in sorted(mes.items()):
         print(f"[progressivex_tpu.eval] {problem} {name_}: "

@@ -16,6 +16,7 @@ import pytest
 pytestmark = pytest.mark.slow
 
 from progressivex_tpu import findHomographies, findLines, findTwoViewMotions
+from progressivex_tpu.eval.extras import make_multi_motion_scene  # noqa: F401
 from progressivex_tpu.io.metrics import misclassification
 
 
@@ -59,43 +60,9 @@ def make_multi_homography_scene(n_structs=5, pts_per=80, outlier_frac=0.6,
             np.concatenate(labels)[perm].astype(np.int32))
 
 
-def make_multi_motion_scene(n_motions=3, pts_per=100, outlier_frac=0.55,
-                            seed=0, f=800.0):
-    """K rigid motions seen by two views: each object's 3D points move by
-    a distinct (R, t), giving K fundamental-matrix structures + outliers."""
-    r = np.random.default_rng(seed)
-
-    def rot(axis, ang):
-        axis = axis / np.linalg.norm(axis)
-        K = np.array([[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]],
-                      [-axis[1], axis[0], 0]])
-        return np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
-
-    Kc = np.array([[f, 0, 320.0], [0, f, 240.0], [0, 0, 1.0]])
-    corrs, labels = [], []
-    for k in range(n_motions):
-        X = r.uniform(-1, 1, (pts_per, 3)) * [1.5, 1.0, 0.4]
-        X[:, 2] += 6.0 + 2.0 * k
-        X[:, 0] += 2.0 * (k - n_motions / 2)
-        R = rot(r.normal(size=3), r.uniform(0.1, 0.35))
-        t = r.uniform(-0.5, 0.5, 3) * [1, 1, 0.3]
-        X2 = X @ R.T + t
-        x1 = (X @ Kc.T)
-        x1 = x1[:, :2] / x1[:, 2:3]
-        x2 = (X2 @ Kc.T)
-        x2 = x2[:, :2] / x2[:, 2:3]
-        noise = r.normal(scale=0.5, size=(pts_per, 4))
-        corrs.append(np.concatenate([x1, x2], 1) + noise)
-        labels.append(np.full(pts_per, k + 1))
-    n_in = n_motions * pts_per
-    n_out = int(outlier_frac / (1.0 - outlier_frac) * n_in)
-    out = np.concatenate([r.uniform(0, 640, (n_out, 2)),
-                          r.uniform(0, 480, (n_out, 2))], 1)
-    corrs.append(out)
-    labels.append(np.zeros(n_out))
-    perm = r.permutation(n_in + n_out)
-    return (np.concatenate(corrs)[perm].astype(np.float64),
-            np.concatenate(labels)[perm].astype(np.int32))
+# make_multi_motion_scene moved to progressivex_tpu.eval.extras (imported
+# above) so the bench's essential-gauntlet phase and these gates exercise
+# the SAME scene distribution.
 
 
 H_KW = dict(threshold=3.0, conf=0.5, spatial_coherence_weight=0.1,
