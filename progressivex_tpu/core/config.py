@@ -89,16 +89,11 @@ class EngineConfig:
     # The callback rides jax.debug.callback out of the fused program, so
     # it works inside jit at the cost of a device->host copy per round;
     # off by default (engine.LIVE_CALLBACK holds the consumer).
-    pallas_scoring: bool = False  # fuse the proposal's residual +
-    # preference + reduction pipeline into the Pallas kernel
-    # (ops/pallas_scoring) for supported families instead of the XLA
-    # vmap-residual path. Semantically identical (parity-tested). Off by
-    # default by measurement: on the bundled AdelaideRMF protocols (32
-    # lanes x 3 seeds, identical MEs) the kernel ran F 683 ms vs 670 ms
-    # and H 130 ms vs 119 ms per batch — XLA's own fusion of the
-    # [B, N] scoring pipeline already saturates the chip here, so the
-    # hand kernel only adds launch overhead. Ignored for unsupported
-    # families.
+    # (An earlier `pallas_scoring` flag swapped the proposal's scoring
+    # pipeline for the hand-written Pallas kernel; retired round 5 as a
+    # measured negative result — XLA's own fusion wins on both protocols.
+    # See docs/DESIGN_NOTES.md "Pallas scoring kernel"; the kernel stays
+    # parity-tested in ops/pallas_scoring.)
     polish_research: int = 0  # minimal samples per instance for a final
     # TIGHT-THRESHOLD LOCAL RE-SEARCH (engine._polish_research): draw this
     # many minimal samples inside each final instance's support, score

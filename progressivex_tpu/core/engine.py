@@ -58,7 +58,6 @@ from progressivex_tpu.ops.labeling import (
     labeling_energy,
     neighbor_mean,
 )
-from progressivex_tpu.ops import pallas_scoring
 from progressivex_tpu.ops.sampling import sample_minimal
 from progressivex_tpu.ops.scoring import (
     compound_penalized_scores,
@@ -171,10 +170,15 @@ def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
     one_minus_conf = jnp.clip(1.0 - params.confidence, 1e-9, 1.0 - 1e-9)
     cn = jnp.sum(compound_pref * compound_pref)
 
-    use_pallas = cfg.pallas_scoring and pallas_scoring.supported(family.name)
-
     def score_subbatch(idx_s, ok_s):
-        """Solve + score one [B] sub-batch -> per-hypothesis tensors."""
+        """Solve + score one [B] sub-batch -> per-hypothesis tensors.
+
+        Scoring rides XLA's own fusion of the [B, N] residual +
+        preference + reduction pipeline — the measured design choice: the
+        hand-written Pallas alternative (ops/pallas_scoring.fused_scores,
+        kept parity-tested) ran F 683 vs 670 ms and H 130 vs 119 ms per
+        protocol batch, i.e. XLA already single-passes this pipeline on
+        the VPU (docs/DESIGN_NOTES.md "Pallas scoring kernel")."""
         samples = data[idx_s]  # [B, m, d]
         if family.minimal_solver_batched is not None:
             descs_h, valid_h = family.minimal_solver_batched(samples)
@@ -182,20 +186,13 @@ def _proposal(family, cfg, params, data, pmask, pweights, idx, samp_ok,
             descs_h, valid_h = jax.vmap(family.minimal_solver)(samples)
         descs_f = descs_h.reshape(bs, family.desc_dim)
         valid_f = (valid_h & ok_s[:, None]).reshape(bs)
-        if use_pallas:
-            scores, inliers, dots, norms = pallas_scoring.fused_scores(
-                family.name, data, descs_f, compound_pref, pmask,
-                trunc_sq, params.scoring_exponent, has_compound,
-                magsac_levels=cfg.magsac_levels,
-            )
-        else:
-            r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(
-                data, descs_f)
-            scores, inliers, dots, norms = compound_penalized_scores(
-                r2, compound_pref, pmask, trunc_sq,
-                params.scoring_exponent, has_compound,
-                magsac_levels=cfg.magsac_levels,
-            )
+        r2 = jax.vmap(family.squared_residual, in_axes=(None, 0))(
+            data, descs_f)
+        scores, inliers, dots, norms = compound_penalized_scores(
+            r2, compound_pref, pmask, trunc_sq,
+            params.scoring_exponent, has_compound,
+            magsac_levels=cfg.magsac_levels,
+        )
         scores = jnp.where(valid_f & jnp.isfinite(scores), scores, _NEG)
         # Batched-validation advantage over the sequential reference: the
         # reference proposes ONE model per round and, if it fails the

@@ -131,12 +131,16 @@ def make_multi_motion_scene(n_motions=3, pts_per=100, outlier_frac=0.55,
 # ---------------------------------------------------------------------------
 # Bench phases. Each returns a flat dict of JSON-ready fields.
 
-def bench_lines(n_runs: int = 3, seed: int = 0) -> dict:
-    """7-line / 3180-point scene latency + quality.
+def bench_lines(n_runs: int = 3, seed: int = 0, n_batch: int = 32) -> dict:
+    """7-line / 3180-point scene latency + batched throughput + quality.
 
     Reference anchor: `example_multi_lines.ipynb` cell 6 — 0.709 s for
-    7 models (no GT in the notebook, so no reference ME)."""
-    from progressivex_tpu import findLines
+    7 models (no GT in the notebook, so no reference ME). Two timings:
+    `lines_time_s` is one public-API call (host round-trips included —
+    on a tunneled TPU the dispatch latency dominates small programs), and
+    `lines_scenes_per_sec` is the TPU-native number: `n_batch` distinct
+    scenes as lanes of one vmapped device program (findLinesBatched)."""
+    from progressivex_tpu import findLines, findLinesBatched
     from progressivex_tpu.io.metrics import misclassification
 
     pts, gt = make_lines_scene(seed=seed)
@@ -151,7 +155,7 @@ def bench_lines(n_runs: int = 3, seed: int = 0) -> dict:
         if dt < best:
             best, k, me = dt, int(lines.shape[0]), float(
                 misclassification(labeling, gt))
-    return {
+    out = {
         "lines_time_s": round(best, 4),
         "lines_ref_time_s": 0.709,
         "lines_n_models": k,
@@ -159,6 +163,20 @@ def bench_lines(n_runs: int = 3, seed: int = 0) -> dict:
         "lines_me": round(me, 4),
         "lines_n_points": int(pts.shape[0]),
     }
+    scenes = [make_lines_scene(seed=seed + i) for i in range(n_batch)]
+    pts_list = [s[0] for s in scenes]
+    findLinesBatched(pts_list, **kw, random_seed=seed)  # warm/compile
+    t0 = time.perf_counter()
+    res = findLinesBatched(pts_list, **kw, random_seed=seed + 1)
+    dt = time.perf_counter() - t0
+    mes = [misclassification(lab, scenes[i][1])
+           for i, (_, lab) in enumerate(res)]
+    out.update({
+        "lines_scenes_per_sec": round(n_batch / dt, 2),
+        "lines_batched_me": round(float(np.mean(mes)), 4),
+        "lines_n_batch": n_batch,
+    })
+    return out
 
 
 def bench_vps(n_runs: int = 3, seed: int = 0) -> dict:
@@ -185,7 +203,7 @@ def bench_vps(n_runs: int = 3, seed: int = 0) -> dict:
         if dt < best:
             best, k, me = dt, int(vps.shape[0]), float(
                 misclassification(labeling, gt))
-    return {
+    out = {
         "vp_time_s": round(best, 4),
         "vp_ref_time_s": 0.0048,
         "vp_n_models": k,
@@ -193,6 +211,29 @@ def bench_vps(n_runs: int = 3, seed: int = 0) -> dict:
         "vp_me": round(me, 4),
         "vp_n_segments": int(segs.shape[0]),
     }
+    # Batched throughput (the TPU-native number — one tiny scene's call
+    # latency is dispatch-bound on a tunneled chip): n_batch distinct
+    # scenes as lanes of one vmapped program.
+    from progressivex_tpu import findVanishingPointsBatched
+
+    n_batch = 64
+    scenes = [make_vp_scene(seed=seed + i) for i in range(n_batch)]
+    segs_list = [s[0] for s in scenes]
+    bkw = dict(kw)
+    bkw["sampler_id"] = 0
+    findVanishingPointsBatched(segs_list, **bkw, random_seed=seed)  # warm
+    t0 = time.perf_counter()
+    res = findVanishingPointsBatched(segs_list, **bkw,
+                                     random_seed=seed + 1)
+    dt = time.perf_counter() - t0
+    mes = [misclassification(lab, scenes[i][1])
+           for i, (_, lab) in enumerate(res)]
+    out.update({
+        "vp_scenes_per_sec": round(n_batch / dt, 2),
+        "vp_batched_me": round(float(np.mean(mes)), 4),
+        "vp_n_batch": n_batch,
+    })
+    return out
 
 
 def bench_essential(seeds=(0, 1, 2), n_time_runs: int = 2) -> dict:

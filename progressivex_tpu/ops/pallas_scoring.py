@@ -23,8 +23,16 @@ point-tile dimension (their index map ignores it) — the standard Pallas
 accumulation pattern.
 
 Supported families: fundamental (Sampson) and homography (transfer error)
-— the two benchmark-critical proposal loops. Other families fall back to
-the XLA path in the engine (engine._proposal).
+— the two benchmark-critical proposal loops.
+
+STATUS (round 5): parity-exact but measured SLOWER than XLA's own fusion
+of the same pipeline on both benchmark protocols (F 683 vs 670 ms, H 130
+vs 119 ms per batch) — XLA single-passes the VPU-bound pipeline and the
+transient [B, N] field is too small for the saved HBM round-trip to
+matter. The engine therefore always uses the XLA path (the old
+`EngineConfig.pallas_scoring` toggle is retired); this module stays as
+the validated template for future hand fusion. Full A/B:
+docs/DESIGN_NOTES.md "Pallas scoring kernel".
 """
 
 from __future__ import annotations
