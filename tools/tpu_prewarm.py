@@ -1,6 +1,13 @@
-"""Pre-warm the persistent compilation cache for every program the bench
-and the driver touch, timing each compile (run after code changes so the
-driver's bench run is warm; see ~/.cache/progressivex_tpu/jax_cache).
+"""Pre-warm the persistent compilation cache for the HF protocol + pose
+programs, timing each compile.
+
+NOTE: the canonical full prewarm is now simply `python bench.py` with a
+generous PROGX_BENCH_BUDGET_S — it compiles EVERY program the driver's
+capture touches (HF buckets, pose, lines, VP, essential, synth sweep)
+into the active cache directory. The checkout ships those entries in
+`.jax_cache/` (see progressivex_tpu.__init__._enable_compile_cache), so
+a fresh container's bench run loads executables in seconds. This tool
+remains for quick per-protocol rewarms during development.
 
 Usage: timeout 3600 python tools/tpu_prewarm.py [HF|H|F|pose|all]
 """
