@@ -232,10 +232,13 @@ def _run_batched(
         pref = res.compound_pref.reshape(n_restarts, lanes, -1)
         nmod = res.n_models.reshape(n_restarts, lanes)
         for j, i in enumerate(lane_ids[: len(idxs)]):
+            # numpy inputs keep the per-lane selection on the HOST — a
+            # per-lane device op costs a tunnel round trip (see
+            # engine.select_restart).
             r = int(engine.select_restart(
-                jnp.asarray(energy[:, j]), jnp.asarray(pref[:, j]),
+                energy[:, j], pref[:, j],
                 restart_rule if n_restarts > 1 else "energy",
-                jnp.asarray(nmod[:, j]),
+                nmod[:, j],
             ))
             one = jax.tree.map(lambda x, rr=r * lanes + j: x[rr], res)
             descs, labels = engine.compact_result(one, int(nv[j]))
@@ -274,6 +277,7 @@ def findHomographiesBatched(
     split_pass=0,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi-homography fitting over a LIST of scenes in one device batch.
     Each element of corrs_list is an [n_i, 4] array; returns a list of
@@ -299,7 +303,7 @@ def findHomographiesBatched(
         magsac_levels=magsac_levels, final_relabel=final_relabel,
         max_rounds=max_rounds, pearl_iters=pearl_iters,
         split_pass=split_pass,
-        mesh=mesh, n_devices=n_devices,
+        mesh=mesh, n_devices=n_devices, **engine_kwargs,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -327,6 +331,7 @@ def findTwoViewMotionsBatched(
     split_pass=0,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi two-view-motion fitting over a LIST of scenes in one device
     batch. Returns a list of ([3K_i, 3] stacked F rows, labeling_i);
@@ -352,7 +357,7 @@ def findTwoViewMotionsBatched(
         magsac_levels=magsac_levels, final_relabel=final_relabel,
         restart_rule=restart_rule, max_rounds=max_rounds,
         pearl_iters=pearl_iters, split_pass=split_pass,
-        mesh=mesh, n_devices=n_devices,
+        mesh=mesh, n_devices=n_devices, **engine_kwargs,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -375,9 +380,13 @@ def findLinesBatched(
     n_restarts=1,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi 2D-line fitting over a LIST of point sets in one device
-    batch. Returns a list of ([K_i, 3] (a,b,c) lines, labeling_i)."""
+    batch. Returns a list of ([K_i, 3] (a,b,c) lines, labeling_i).
+    `engine_kwargs` forwards the engine extensions the single-scene front
+    end takes (max_rounds, pearl_iters, split_pass, final_relabel,
+    magsac_levels, restart_rule, ...)."""
     datas = []
     for points in points_list:
         points = np.asarray(points, np.float64)
@@ -396,7 +405,7 @@ def findLinesBatched(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
-        mesh=mesh, n_devices=n_devices,
+        mesh=mesh, n_devices=n_devices, **engine_kwargs,
     )
     return [(d.astype(np.float64), l) for d, l in out]
 
@@ -419,9 +428,13 @@ def findVanishingPointsBatched(
     n_restarts=1,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi vanishing-point fitting over a LIST of segment sets in one
-    device batch. Returns a list of ([K_i, 3] unit VPs, labeling_i)."""
+    device batch. Returns a list of ([K_i, 3] unit VPs, labeling_i).
+    `engine_kwargs` forwards the engine extensions the single-scene front
+    end takes (max_rounds, pearl_iters, split_pass, final_relabel,
+    magsac_levels, restart_rule, ...)."""
     datas = []
     for lines in lines_list:
         lines = np.asarray(lines, np.float64)
@@ -440,7 +453,7 @@ def findVanishingPointsBatched(
         maximum_model_number=maximum_model_number, sampler_id=sid,
         scoring_exponent=scoring_exponent, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
-        mesh=mesh, n_devices=n_devices,
+        mesh=mesh, n_devices=n_devices, **engine_kwargs,
     )
     return [(d.astype(np.float64), l) for d, l in out]
 
@@ -464,13 +477,15 @@ def findEssentialMatricesBatched(
     n_restarts=1,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi essential-matrix fitting over a LIST of scenes in one device
     batch (extension — see `findEssentialMatrices`). K1_list/K2_list are
     one [3,3] per scene OR a single shared [3,3]; per-scene K^-1
     normalization and threshold/focal scaling ride in as vmapped runtime
-    values. Returns a list of ([3K_i, 3] stacked E rows in NORMALIZED
-    coordinates, labeling_i)."""
+    values. `engine_kwargs` forwards the engine extensions the
+    single-scene front end takes. Returns a list of ([3K_i, 3] stacked E
+    rows in NORMALIZED coordinates, labeling_i)."""
     n_scenes = len(corrs_list)
     K1s = (list(K1_list) if isinstance(K1_list, (list, tuple))
            else [K1_list] * n_scenes)
@@ -509,6 +524,7 @@ def findEssentialMatricesBatched(
         scoring_exponent=scoring_exponent, graph_datas=graphs,
         do_logging=do_logging, random_seed=random_seed,
         n_restarts=n_restarts, mesh=mesh, n_devices=n_devices,
+        **engine_kwargs,
     )
     return [(d.reshape(-1, 3).astype(np.float64), l) for d, l in out]
 
@@ -530,12 +546,15 @@ def find6DPosesBatched(
     n_restarts=1,
     mesh=None,
     n_devices=None,
+    **engine_kwargs,
 ):
     """Multi 6D-pose fitting over a LIST of scenes in one device batch.
     K_list is one [3,3] per scene OR a single shared [3,3]. Per-scene
     K^-1 normalization and threshold/focal scaling ride into the shared
-    program as vmapped runtime values. Returns a list of
-    ([3K_i, 4] stacked [R|t], labeling_i)."""
+    program as vmapped runtime values. `engine_kwargs` forwards the
+    engine extensions the single-scene front end takes (this front end's
+    own defaults: lo_spatial_lambda=0.0, final_polish=3). Returns a list
+    of ([3K_i, 4] stacked [R|t], labeling_i)."""
     n_scenes = len(x1y1_list)
     Ks = (list(K_list) if isinstance(K_list, (list, tuple))
           else [K_list] * n_scenes)
@@ -571,7 +590,7 @@ def find6DPosesBatched(
         maximum_model_number=maximum_model_number, sampler_id=0,
         scoring_exponent=2, graph_datas=graphs, do_logging=do_logging,
         random_seed=random_seed, n_restarts=n_restarts,
-        lo_spatial_lambda=0.0, final_polish=3,
         mesh=mesh, n_devices=n_devices,
+        **{"lo_spatial_lambda": 0.0, "final_polish": 3, **engine_kwargs},
     )
     return [(d.reshape(-1, 4).astype(np.float64), l) for d, l in out]

@@ -643,15 +643,25 @@ def select_restart(energy, compound_pref, rule: str, n_models=None):
     A/B (0.0394 vs 0.0246 mean ME). The full negative result lives in
     docs/DESIGN_NOTES.md. Works on jnp or np inputs.
     """
+    # Backend-agnostic: host callers (the batched front ends / eval
+    # harness select per lane AFTER one bulk device->host fetch) must
+    # stay in numpy — a jnp.argmin on host data dispatches a tiny device
+    # op per lane, and tiny dispatches over a tunneled backend cost
+    # ~10-30 ms each (measured: ~2 s of pure selection overhead per
+    # 64-lane batch). In-jit callers (fit's nested-restart path) pass
+    # tracers and keep jnp.
+    import numpy as np
+
+    xp = jnp if isinstance(energy, jax.Array) else np
     if rule == "energy" or energy.shape[0] == 1:
-        return jnp.argmin(energy)
+        return xp.argmin(energy)
     m = _ENERGY_K_RULE.fullmatch(rule)
     if m:
         if n_models is None:
             raise ValueError(f"rule {rule!r} needs n_models")
         lam = float(m.group(1))
-        return jnp.argmin(jnp.asarray(energy)
-                          + lam * jnp.asarray(n_models, jnp.float32))
+        return xp.argmin(xp.asarray(energy)
+                         + lam * xp.asarray(n_models).astype(xp.float32))
     raise ValueError(f"unknown restart_rule {rule!r} "
                      "(expected 'energy' or 'energy+<L>k'; 'agreement' "
                      "was retired — see docs/DESIGN_NOTES.md)")

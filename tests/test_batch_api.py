@@ -188,3 +188,28 @@ def test_batched_input_validation():
         findHomographiesBatched([np.zeros((3, 4))])
     with pytest.raises(ValueError):
         findTwoViewMotionsBatched([np.zeros((10, 3))])
+
+
+def test_batched_engine_kwargs_pass_through():
+    """Every batched front end forwards the engine-extension kwargs the
+    single-scene front ends take (round-5 parity fix: findLinesBatched
+    rejected max_rounds=). A tiny two-line scene under a reduced
+    max_rounds must still fit; a bogus kwarg must raise TypeError."""
+    from progressivex_tpu import findLinesBatched
+
+    r = np.random.default_rng(0)
+    pts = np.concatenate([
+        np.stack([np.linspace(0, 100, 40),
+                  np.linspace(0, 100, 40) + r.normal(0, .5, 40)], 1),
+        np.stack([np.linspace(0, 100, 40),
+                  50 - 0.3 * np.linspace(0, 100, 40)
+                  + r.normal(0, .5, 40)], 1),
+        r.uniform(0, 100, (20, 2)),
+    ])
+    kw = dict(threshold=1.5, conf=0.5, minimum_point_number=20,
+              maximum_model_number=4, max_iters=128, sampler_id=0)
+    out = findLinesBatched([pts], **kw, max_rounds=4, pearl_iters=2,
+                           random_seed=0)
+    assert out[0][0].shape[0] >= 1
+    with pytest.raises(TypeError):
+        findLinesBatched([pts], **kw, not_a_kwarg=1)
