@@ -170,6 +170,13 @@ def bench_lines(n_runs: int = 3, seed: int = 0, n_batch: int = 32) -> dict:
         "lines_me": round(me, 4),
         "lines_n_points": int(pts.shape[0]),
     }
+    # On-chip device time via the profiler-backed Statistics (the wall
+    # latency above is dispatch-dominated on a tunneled chip: measured
+    # 3.2 ms device vs ~360 ms wall).
+    _, _, st = findLines(pts, **kw, with_statistics="phases",
+                         random_seed=seed)
+    if st.phase_times:
+        out["lines_device_ms"] = st.phase_times["total_device_ms"]
     scenes = [make_lines_scene(seed=seed + i) for i in range(n_batch)]
     pts_list = [s[0] for s in scenes]
     findLinesBatched(pts_list, **kw, random_seed=seed)  # warm/compile
@@ -218,6 +225,12 @@ def bench_vps(n_runs: int = 3, seed: int = 0) -> dict:
         "vp_me": round(me, 4),
         "vp_n_segments": int(segs.shape[0]),
     }
+    # On-chip device time (wall latency is dispatch-dominated on a
+    # tunneled chip — see bench_lines).
+    _, _, st = findVanishingPoints(segs, **kw, with_statistics="phases",
+                                   random_seed=seed)
+    if st.phase_times:
+        out["vp_device_ms"] = st.phase_times["total_device_ms"]
     # Batched throughput (the TPU-native number — one tiny scene's call
     # latency is dispatch-bound on a tunneled chip): n_batch distinct
     # scenes as lanes of one vmapped program. 256 lanes measured 521.9
