@@ -60,5 +60,8 @@ def _clear_jax_caches_between_modules(request):
     mod = request.node.nodeid.split("::", 1)[0]
     if _last_module[0] is not None and _last_module[0] != mod:
         jax.clear_caches()
+        import gc
+
+        gc.collect()  # release dropped executables' LLVM state promptly
     _last_module[0] = mod
     yield
