@@ -44,7 +44,12 @@ import sys
 import time
 
 T0 = time.perf_counter()
-BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "900"))
+# 1800 s: program-load cost through the tunneled backend varies ~5x day
+# to day (warm AOT loads measured 166-410 s/program on a slow day vs
+# tens of seconds on a fast one). The budget self-bounds the extras; a
+# tighter EXTERNAL driver timeout is also safe — its SIGTERM lands in
+# the finally and the JSON still carries every completed phase.
+BUDGET_S = float(os.environ.get("PROGX_BENCH_BUDGET_S", "1800"))
 
 # TPU v5e (v5 lite) peaks, for the utilization fields: 197 TFLOP/s bf16
 # MXU, ~819 GB/s HBM. The engine's hot path is fused elementwise scoring
@@ -280,8 +285,8 @@ def run_phases(out):
     from progressivex_tpu.eval.extras import (
         bench_essential, bench_lines, bench_vps)
 
-    extra("lines", bench_lines, 60)
-    extra("vp", bench_vps, 45)
+    extra("lines", bench_lines, 180)
+    extra("vp", bench_vps, 150)
     extra("essential", bench_essential, 120)
 
     # Synthetic full-cardinality 19 H + 18 F sweep (eval/synth_adelaide):
@@ -321,7 +326,7 @@ def run_phases(out):
             })
         return fields
 
-    extra("synth_sweep", synth, 60)
+    extra("synth_sweep", synth, 300)
 
 
 if __name__ == "__main__":

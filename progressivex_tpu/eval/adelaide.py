@@ -386,6 +386,24 @@ class _LaneBatch:
         self._entry = entry
         self.run = entry["jit"]
 
+    def lower_prepare(self):
+        """Trace/lower the program (LOCAL CPU work) without compiling.
+
+        Split from compile() so _compile_sequential can overlap the
+        lowering of program i+1 with the remote compile of program i —
+        on the tunneled backend they use disjoint resources (measured on
+        a slow-tunnel day: ~60 s lowering + ~94 s cache-served compile
+        per big program; the overlap hides most of the lowering)."""
+        import jax
+
+        if self._entry["compiled"] is not None or \
+                getattr(self, "_lowered", None) is not None:
+            return
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
+        self._lower_keys = keys
+        self._lowered = self.run.lower(
+            self.data, self.mask, self.wts, keys, self.nv)
+
     def compile(self):
         """AOT-compile the program (persistent-cache-served when warm) and
         run it once — the warmup run pays any lazy device transfer so the
@@ -394,11 +412,12 @@ class _LaneBatch:
         bench's utilization fields."""
         import jax
 
-        keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
         if self._entry["compiled"] is None:
-            self._entry["compiled"] = self.run.lower(
-                self.data, self.mask, self.wts, keys, self.nv).compile()
+            self.lower_prepare()
+            self._entry["compiled"] = self._lowered.compile()
+            self._lowered = None  # free the traced module
         self.compiled = self._entry["compiled"]
+        keys = jax.random.split(jax.random.PRNGKey(self.seed), self.ns)
         res = self.compiled(self.data, self.mask, self.wts, keys, self.nv)
         np.asarray(res.n_models)
 
@@ -525,19 +544,29 @@ def throughput_batch(problem: str, root: str | None = None,
 
 
 def _compile_sequential(lane_batches):
-    """Compile every bucket program back-to-back.
+    """Compile every bucket program back-to-back, overlapping each
+    program's REMOTE compile with the LOCAL lowering of the next.
+
+    One compile is in flight at any moment (measured: the remote compile
+    service reuses work across back-to-back sibling compiles; concurrent
+    compile requests thrash it 4.6x), but lowering is local tracing that
+    the service never sees, so it rides in the main thread while the
+    worker waits on the service — hiding ~60 s/program of tracing on the
+    big buckets.
 
     Returns the compiled batches (same order). A bucket whose compile
     crashes the TPU compile service (the XLA memory-space-assignment
     check-fail some large restart-flattened programs trip) is rebuilt at
     half the lane count and retried — the bench degrades throughput
     instead of dying."""
-    out = []
-    for b in lane_batches:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def finish(pending, out):
+        b, fut, t0 = pending
+        run_compile = fut.result  # first attempt: join the worker
         while True:
-            t0 = time.perf_counter()
             try:
-                b.compile()
+                run_compile()
             except Exception as e:  # noqa: BLE001 — compile-service crash
                 smaller = b.halved()
                 print(
@@ -549,15 +578,28 @@ def _compile_sequential(lane_batches):
                 if smaller is None:
                     raise
                 b = smaller
+                run_compile = b.compile  # rare fallback: synchronous
+                t0 = time.perf_counter()
                 continue
-            print(
-                f"[progressivex_tpu.eval] compiled n_pad={b.n_pad} "
-                f"({b.lanes}x{b.n_restarts} rows) in "
-                f"{time.perf_counter() - t0:.1f}s",
-                file=sys.stderr,
-            )
             break
+        print(
+            f"[progressivex_tpu.eval] compiled n_pad={b.n_pad} "
+            f"({b.lanes}x{b.n_restarts} rows) in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
         out.append(b)
+
+    out = []
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None
+        for b in lane_batches:
+            b.lower_prepare()  # local; overlaps the pending compile
+            if pending is not None:
+                finish(pending, out)
+            pending = (b, pool.submit(b.compile), time.perf_counter())
+        if pending is not None:
+            finish(pending, out)
     return out
 
 
