@@ -118,8 +118,7 @@ def progressive_napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mas
     centers = jax.random.randint(
         k_center, (n_hyp,), 0, jnp.maximum(n_valid, 1)
     ).astype(jnp.int32)
-    nbr_ids = knn_idx[centers]  # [B, K]
-    nbr_ok = knn_mask[centers]
+    nbr_ok = knn_mask[centers]  # [B, K] 1-byte gather
     # Neighborhood size ramp: k(b) in [m-1, k_max] over the local phase.
     n_local = (n_hyp * 7) // 8
     b = jnp.arange(n_hyp, dtype=jnp.float32)
@@ -130,11 +129,16 @@ def progressive_napsac_sample(key, n_hyp: int, m: int, n_valid, knn_idx, knn_mas
         nbr_ok & in_window, 0.0, _NEG
     )
     vals, pick = lax.top_k(g, m - 1)
-    # NB: full-row gather + take_along_axis, NOT the pair gather used in
-    # napsac_sample — the [B, m-1] two-array gather in THIS function
-    # reproducibly trips XLA TPU memory-space assignment ("conflicting
-    # pending required assignment" check-fail) at >= 64 scene lanes.
-    picked = jnp.take_along_axis(nbr_ids, pick, axis=1)
+    # Slot-first: only the m-1 CHOSEN (center, slot) pairs read the int32
+    # kNN table. The full-row `knn_idx[centers]` gather this replaces was
+    # the F protocol program's single largest op (fusion.31, 11.6% of
+    # device time — 192 B of random-access table per hypothesis vs 24 B
+    # here); the picked values are identical, so results are bit-equal.
+    # Routed through ONE flattened 1-D gather: the [B, m-1] two-array
+    # form `knn_idx[centers[:, None], pick]` reproducibly trips XLA TPU
+    # memory-space assignment ("conflicting pending required assignment"
+    # check-fail) at >= 64 scene lanes in THIS function's context.
+    picked = knn_idx.reshape(-1)[centers[:, None] * k_max + pick]
     l_idx = jnp.concatenate([centers[:, None], picked], axis=1).astype(jnp.int32)
     l_ok = vals[:, -1] > _NEG / 2
     g_idx, g_ok = uniform_sample(k_global, n_hyp, m, n_valid)
