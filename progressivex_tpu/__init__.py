@@ -13,7 +13,7 @@ findTwoViewMotions, find6DPoses — plus findEssentialMatrices (the reference
 ships the five-point solver headers but no Python front end for them).
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 import os as _os
 
